@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall-clock seconds across the headline queries (lower is
+better). Use tools/bench_scaling.py for the N-vs-4N scaling-efficiency run
+(BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_msg_parser_spark.registry import all_queries  # noqa: E402
+from crypto_msg_parser_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — agg, multi-join, window, dedup,
+# similarity, text, parse pipeline, crawl scheduler.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "events_sessionize",
+    "dedup_exact_groups",
+    "neardup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "parse_binance_spot_trade",
+    "politeness_schedule",
+]
+
+
+def run(sf_dir: str, cores: int) -> dict:
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    spark = get_spark("bench", cores=cores)
+    # warm the JVM + parquet footer caches once so per-query times measure
+    # the plan, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cores": cores,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cores)))

@@ -1,0 +1,569 @@
+"""Relational operator coverage (SURVEY.md §2.4-2.7).
+
+The reference has no relational engine — its three dictionary lookups become
+broadcast hash joins (SURVEY §2.4) and its time-ordering contract becomes
+window functions (§2.6). This module exercises every relational operator the
+engine exposes, over the driver's TPC-H-ish testdata, each with a DuckDB
+oracle.
+
+Scale notes (100 TB design points), also asserted by tests/test_plans.py:
+- dimension joins (region/nation/part/supplier) are explicitly broadcast;
+- fact-fact joins shuffle on their join key only after filters prune;
+- aggregates are partial (map-side combine) by construction of groupBy.agg;
+- window functions partition on high-cardinality keys (suppkey/user_id) so
+  state per partition stays bounded.
+
+Float determinism: money aggregates use exact integer minor-unit arithmetic
+(plans/money.py) so the DuckDB oracle hash matches bit-for-bit regardless of
+summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.plans.money import cents, pct
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+# exact integer-cents building blocks, shared across queries (lazy: Column
+# construction requires an active SparkContext)
+def _price_cents():
+    return cents(F.col("l_extendedprice"))
+
+
+def _disc_pct():
+    return pct(F.col("l_discount"))
+
+
+def _tax_pct():
+    return pct(F.col("l_tax"))
+
+
+def _rev_e4():
+    # revenue in 1e-4 units: cents * (100 - disc_pct) — exact BIGINT
+    return _price_cents() * (F.lit(100) - _disc_pct())
+_SQL_PRICE_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_SQL_DISC_PCT = "CAST(round(l_discount * 100) AS BIGINT)"
+_SQL_TAX_PCT = "CAST(round(l_tax * 100) AS BIGINT)"
+_SQL_REV_E4 = f"{_SQL_PRICE_CENTS} * (100 - {_SQL_DISC_PCT})"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                              AS sum_qty,
+           sum({_SQL_PRICE_CENTS}) / 100.0              AS sum_base_price,
+           sum({_SQL_REV_E4}) / 10000.0                 AS sum_disc_price,
+           sum({_SQL_REV_E4} * (100 + {_SQL_TAX_PCT})) / 1000000.0 AS sum_charge,
+           sum(l_quantity) / count(*)                   AS avg_qty,
+           (sum({_SQL_PRICE_CENTS}) / 100.0) / count(*) AS avg_price,
+           (sum({_SQL_DISC_PCT}) / 100.0) / count(*)    AS avg_disc,
+           count(*)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> filter (pushed to parquet) -> partial+final "
+    "agg; money sums in exact integer minor units (plans/money.py).",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_price_cents()) / 100.0).alias("sum_base_price"),
+            (F.sum(_rev_e4()) / 10000.0).alias("sum_disc_price"),
+            (F.sum(_rev_e4() * (F.lit(100) + _tax_pct())) / 1000000.0).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            ((F.sum(_price_cents()) / 100.0) / n).alias("avg_price"),
+            ((F.sum(_disc_pct()) / 100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           sum({_SQL_REV_E4}) / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: filtered 3-way join -> agg -> total-order topN "
+    "(tie-broken by key so LIMIT is deterministic across engines).",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_rev_e4()) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, sum({_SQL_REV_E4}) / 10000.0 AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: star join; nation/region/supplier broadcast, "
+    "customer-orders-lineitem shuffle on keys.",
+)
+def q5_region_revenue(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_rev_e4()) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p_brand, count(*) AS n_items,
+           sum({_SQL_PRICE_CENTS}) / 100.0 AS brand_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+    doc="Broadcast hash join of a fact table with a filtered small dim — the "
+    "Spark realization of the reference's dictionary lookups (SURVEY §2.4).",
+)
+def join_broadcast_dim(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_price_cents()) / 100.0).alias("brand_revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '2000-01-01')
+    GROUP BY o_orderstatus
+    """,
+    doc="left_semi join (EXISTS).",
+)
+def join_semi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="left_anti join (NOT EXISTS) — the frontier seen-set primitive.",
+)
+def join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_outer_coalesce",
+    oracle="""
+    SELECT n_name, count(o_orderkey) AS n_orders,
+           coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0
+             AS total_spend
+    FROM nation
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      LEFT JOIN orders   ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+    doc="left outer joins with null-tolerant aggregation.",
+)
+def join_outer_coalesce(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        F.broadcast(n)
+        .join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0)) / 100.0
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           sum({_SQL_REV_E4})
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+             AS running_revenue
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+    doc="Running aggregate over an event-ordered window (SURVEY §2.6 stream "
+    "time-ordering); ORDER BY is made total with the line identity keys.",
+)
+def window_running_sum(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(_rev_e4()).over(w) / 10000.0).alias("running_revenue"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= 3
+    """,
+    doc="top-k per group via row_number (the L2TopK recomputation shape, "
+    "SURVEY §2.6 ranking).",
+)
+def window_topk_per_group(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT user_id, count(*) AS n_gaps
+    FROM (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_s
+      FROM events)
+    WHERE gap_s > 3600
+    GROUP BY user_id
+    """,
+    doc="lag + gap detection — the seq_id/prev_seq_id chaining shape "
+    "(SURVEY §2.6; binance pu, deribit change_id).",
+)
+def window_lag_gap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap_s"))
+        .filter(F.col("gap_s") > 3600)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup aggregation (quantities are integer-valued "
+    "doubles, so the sum is exact in both engines).",
+)
+def rollup_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="cube aggregation.",
+)
+def cube_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_o,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="pivot (expressed as conditional aggregation for engine parity).",
+)
+def pivot_status(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)
+        ).alias("qty_o"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)
+        ).alias("qty_f"),
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS which, n_nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS which, n_nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          EXCEPT
+          SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="intersect / except / union set operators (SURVEY §2.7).",
+)
+def set_ops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("which"), "n_nationkey")
+    only = c.exceptAll(s).select(
+        F.lit("customer_only").alias("which"), "n_nationkey"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact distinct aggregation (frontier-cardinality metrics use "
+    "approx_count_distinct at 10^10 scale; exact here for oracle parity).",
+)
+def distinct_count(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+    doc="global total-order topN (Spark executes as per-partition topN + "
+    "merge, no full sort).",
+)
+def sort_limit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(15)
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window aggregation (batch twin of the "
+    "Structured Streaming job in streaming/jobs.py).",
+)
+def events_tumbling_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id))
+                         > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+    doc="sessionization via gap detection + cumulative session counter — "
+    "batch twin of F.session_window (30 min gap).",
+)
+def events_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select("user_id", "ts", F.sum("is_new").over(wcum).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction on a string column — the reference's tolerant "
+    "extra-field handling (SURVEY §1.3 extra) as get_json_object.",
+)
+def events_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )

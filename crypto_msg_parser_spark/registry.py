@@ -1,0 +1,60 @@
+"""Central query registry.
+
+Every operator the engine claims (SURVEY.md §2 plus the training-data
+pipeline ops) registers here as a named query over the driver's testdata
+tables, together with an equivalent DuckDB oracle SQL string. The driver's
+__spark_entry__.py re-exports this registry; the local pytest suite replays
+it against DuckDB at sf0.001 so oracle mismatches are caught before the
+driver's own sf0.01 run.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: SparkQueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+# Modules whose import registers queries (order = display order).
+_QUERY_MODULES = [
+    "crypto_msg_parser_spark.plans.relational",
+    "crypto_msg_parser_spark.plans.scalarfn",
+    "crypto_msg_parser_spark.operators.dedup",
+    "crypto_msg_parser_spark.operators.textstats",
+    "crypto_msg_parser_spark.operators.similarity",
+    "crypto_msg_parser_spark.operators.asof",
+    "crypto_msg_parser_spark.parser.queries",
+    "crypto_msg_parser_spark.crawl.queries",
+]
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: SparkQueryFn) -> SparkQueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
