@@ -1,0 +1,361 @@
+"""Deduplication operators over the `documents` table.
+
+Large-scale-training-pipeline dedup family: exact (hash groupBy), MinHash +
+LSH banding, SimHash + hamming-band join, and n-gram/word-set Jaccard.
+
+Scale design:
+- Exact dedup is a single shuffle on the content hash.
+- MinHash signatures and SimHash are computed per-row with array
+  expressions (no shuffle, no Python) — at 100 TB the only shuffles are the
+  LSH band self-joins, which group by (band_idx, band_hash), a key whose
+  cardinality grows with corpus size so partitions stay bounded; AQE skew
+  join covers pathological bands.
+- The O(n^2) verify step only ever runs on LSH candidate pairs, never on
+  the full corpus.
+
+All hashes use the md5-derived stable_hash64 (functions/scalar.py) so the
+DuckDB oracle reproduces them exactly; Spark-internal-only keys would use
+xxhash64 instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+N_MINHASH = 8  # minhash permutations (md5-salted)
+N_BANDS = 4  # LSH bands of 2 rows each
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.6
+
+
+def _words(col):
+    """Distinct word set of a document (order-irrelevant downstream)."""
+    return F.array_distinct(F.split(col, " "))
+
+
+def _sql_words(expr: str) -> str:
+    return f"list_distinct(string_split({expr}, ' '))"
+
+
+def _word_hash(word_col, salt: int):
+    # per-word salted stable hash; identical to the DuckDB template below
+    return F.conv(
+        F.substring(F.md5(F.concat(word_col, F.lit(f"#{salt}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_word_hash(expr: str, salt: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{salt}'), 1, 15))::BIGINT"
+
+
+def _hasher(salt: int):
+    # single-arg closure: a 2-arg lambda would make F.transform/F.filter pass
+    # the element *index* as the second argument
+    return lambda w: _word_hash(w, salt)
+
+
+def minhash_cols(words_col):
+    """N_MINHASH min-hash values as per-row array expressions (no shuffle)."""
+    return [
+        F.array_min(F.transform(words_col, _hasher(s))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+def _sql_minhash(words_expr: str, salt: int) -> str:
+    return (
+        f"list_aggregate(list_transform({words_expr}, "
+        f"w -> ('0x' || substr(md5(w || '#{salt}'), 1, 15))::BIGINT), 'min')"
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="exact dedup: hash-groupBy on content, deterministic survivor "
+    "(min doc_id). One shuffle on the 128-bit content hash.",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT content_hash, n_copies, keep_doc_id FROM (
+      SELECT md5(text) AS content_hash, count(*) AS n_copies,
+             min(doc_id) AS keep_doc_id
+      FROM documents GROUP BY md5(text))
+    WHERE n_copies > 1
+    """,
+    doc="duplicate groups only (the rows exact dedup would drop).",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dedup_exact(spark, sf_dir).filter(F.col("n_copies") > 1)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(f"{_sql_minhash(_sql_words('text'), s)} AS mh{s}" for s in range(N_MINHASH))}
+    FROM documents
+    """,
+    doc="per-doc MinHash signature over the distinct-word set, computed as "
+    "pure array expressions (no shuffle, no Python).",
+)
+def minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_cols(_words(F.col("text"))))
+
+
+def _lsh_bands(sig_df: DataFrame) -> DataFrame:
+    """Explode a signature table into (doc_id, band_idx, band_hash) rows."""
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+
+
+_SQL_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{_sql_minhash(_sql_words('text'), s)} AS mh{s}" for s in range(N_MINHASH)
+    )
+    + " FROM documents"
+)
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws(',', mh{2 * b}::VARCHAR, mh{2 * b + 1}::VARCHAR)) AS band_hash "
+    f"FROM sig"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "neardup_minhash_lsh",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIG}),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(wa.w, x -> list_contains(wb.w, x))) /
+             (len(wa.w) + len(wb.w)
+              - len(list_filter(wa.w, x -> list_contains(wb.w, x)))) AS jaccard
+      FROM cand c
+      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM documents) wa
+        ON wa.doc_id = c.doc_a
+      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM documents) wb
+        ON wb.doc_id = c.doc_b)
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="near-dup pairs: MinHash -> LSH band self-join -> exact word-set "
+    "Jaccard verify on candidates only.",
+)
+def neardup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", *minhash_cols(_words(F.col("text"))))
+    bands = _lsh_bands(sig)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wsets = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size(F.col("wa")) + F.size(F.col("wb")) - inter
+    return (
+        cand.join(wsets.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")), "doc_a")
+        .join(wsets.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")), "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_col(words_col):
+    """SIMHASH_BITS-bit SimHash as a pure column expression.
+
+    bit_i set iff more than half the document's distinct words have bit_i
+    set in their stable hash (tie -> 0)."""
+    hashes = F.transform(words_col, _hasher(0))
+
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    bits = [
+        (
+            F.when(
+                2 * F.size(F.filter(hashes, _bit_set(i))) > F.size(hashes),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << i).cast("long")
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_simhash(words_expr: str) -> str:
+    hashes = (
+        f"list_transform({words_expr}, "
+        f"w -> ('0x' || substr(md5(w || '#0'), 1, 15))::BIGINT)"
+    )
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({hashes}, h -> (h >> {i}) & 1 = 1))"
+        f" > len({hashes}) THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_sql_simhash(_sql_words('text'))} AS simhash
+    FROM documents
+    """,
+    doc="per-doc SimHash fingerprint (16-bit here; 64-bit at scale) as a "
+    "pure column expression.",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_col(_words(F.col("text"))).alias("simhash")
+    )
+
+
+@query(
+    "neardup_simhash",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_simhash(_sql_words('text'))} AS simhash
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
+    """,
+    doc="SimHash near-dup pairs (hamming <= 3). Spark side joins on 4-bit "
+    "bands (pigeonhole: hamming<=3 over 4 bands forces one equal band) so "
+    "it scales; the oracle is the O(n^2) definition.",
+)
+def neardup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", simhash_col(_words(F.col("text"))).alias("simhash"))
+    # 4 bands of 4 bits; any pair with hamming<=3 shares at least one band
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 4 * b)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query(
+    "neardup_word_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_sql_words('text')} AS ws FROM documents)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.ws, x -> list_contains(b.ws, x))) /
+             (len(a.ws) + len(b.ws)
+              - len(list_filter(a.ws, x -> list_contains(b.ws, x)))) AS jaccard
+      FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="word-set Jaccard near-dup within a blocking key (lang) — the "
+    "n-gram Jaccard family with explicit candidate blocking.",
+)
+def neardup_word_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", _words(F.col("text")).alias("ws"))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Brute-force cosine top-k as the correctness baseline, plus an IVF-style
+cell-restricted variant as the scale path (search only the query's coarse
+cluster — here the prepartitioned `label` column; a real pipeline assigns
+cells with a k-means fit).
+
+Scale design: the query set is broadcast (it is small by construction), the
+corpus side streams — the join is a broadcast nested loop over a few query
+rows per corpus row, i.e. a single scan, no shuffle; top-k per query is a
+windowed rank over (query_id), k rows of state per partition.
+
+Numeric determinism: cosine is computed with sequential double
+accumulation (F.aggregate over the zipped product array). DuckDB's
+list_cosine_similarity on DOUBLE[] uses the same left-to-right loop, so the
+oracle matches bit-for-bit — verified in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    """Sequential-accumulation cosine of two double arrays."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _topk(joined, k=TOP_K):
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="brute-force cosine top-k: broadcast query set x corpus scan, "
+    "windowed rank per query.",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _dvec(F.col("embedding")).alias("qv")
+    )
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("ev"))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("ev")).alias("cosine"))
+    )
+    return _topk(scored)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings e
+        ON e.label = q.label AND e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="IVF-style ANN: restrict the scan to the query's coarse cell "
+    "(label) — an equi-join on the cell id, so at scale it prunes to "
+    "1/n_cells of the corpus and shuffles only by cell.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        _dvec(F.col("embedding")).alias("qv"),
+    )
+    e = emb.select("vec_id", F.col("label").alias("elabel"), _dvec(F.col("embedding")).alias("ev"))
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("elabel") == F.col("label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("ev")).alias("cosine"))
+    )
+    return _topk(scored)

@@ -1,0 +1,181 @@
+"""Text-analysis operators over the `documents` table.
+
+Language-ID (marker-word scoring), quality scoring (lexical ratios), token
+counting (whitespace + subword estimate), and document fingerprinting.
+
+All pure column expressions — per-row, no shuffle until the final optional
+aggregation, so they pipeline inside whole-stage codegen at any scale.
+Division results are single IEEE ops on exact integer counts, so the DuckDB
+oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+# tiny in-expression stopword profiles (a real pipeline broadcasts full sets;
+# the mechanism — set membership scoring — is identical)
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_words, n_distinct, type_token_ratio, stopword_ratio,
+           (type_token_ratio + (1.0 - stopword_ratio)) / 2.0 AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) AS type_token_ratio,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({STOPWORDS!r}, w)))
+               / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents)
+    """,
+    doc="quality scoring from lexical ratios (type-token ratio, stopword "
+    "ratio) — per-row, codegen'd, no Python.",
+)
+def text_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop = F.size(
+        F.filter(words, lambda w: F.array_contains(F.lit(STOPWORDS), w))
+    )
+    ttr = n_distinct / n_words
+    swr = stop / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        swr.alias("stopword_ratio"),
+        ((ttr + (F.lit(1.0) - swr)) / F.lit(2.0)).alias("quality_score"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_tokens,
+           sum(list_aggregate(list_transform(string_split(text, ' '),
+               w -> (length(w) + 3) // 4), 'sum')) AS n_subwords_est,
+           sum(length(text)) AS n_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="token counting per source: whitespace tokens plus a BPE-ish "
+    "subword estimate (ceil(len/4) per word) — integer-exact aggregation.",
+)
+def token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    subwords = F.aggregate(
+        F.transform(words, lambda w: F.floor((F.length(w) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("n_tokens"),
+        F.sum(subwords).alias("n_subwords_est"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+_SQL_LANG_SCORES = {
+    lang: (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({markers!r}, w)))"
+    )
+    for lang, markers in LANG_MARKERS.items()
+}
+
+
+@query(
+    "lang_id_markers",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_SQL_LANG_SCORES['en']} >= {_SQL_LANG_SCORES['de']}
+              AND {_SQL_LANG_SCORES['en']} >= {_SQL_LANG_SCORES['fr']}
+              AND {_SQL_LANG_SCORES['en']} > 0 THEN 'en'
+             WHEN {_SQL_LANG_SCORES['de']} >= {_SQL_LANG_SCORES['fr']}
+              AND {_SQL_LANG_SCORES['de']} > 0 THEN 'de'
+             WHEN {_SQL_LANG_SCORES['fr']} > 0 THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang,
+           {_SQL_LANG_SCORES['en']} AS score_en,
+           {_SQL_LANG_SCORES['de']} AS score_de,
+           {_SQL_LANG_SCORES['fr']} AS score_fr
+    FROM documents
+    """,
+    doc="language ID via marker-word scoring with deterministic "
+    "tie-breaking (priority en > de > fr, fallback 'und').",
+)
+def lang_id_markers(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+
+    def score(markers):
+        return F.size(
+            F.filter(words, lambda w: F.array_contains(F.lit(markers), w))
+        )
+
+    s_en, s_de, s_fr = (score(LANG_MARKERS[lg]) for lg in ("en", "de", "fr"))
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en > 0), "en")
+        .when((s_de >= s_fr) & (s_de > 0), "de")
+        .when(s_fr > 0, "fr")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_fr.alias("score_fr"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+               ' ')) AS content_fp,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+             AS prefix_fp
+    FROM documents
+    """,
+    doc="document fingerprinting: order-insensitive content fingerprint "
+    "(sorted distinct words) + positional prefix fingerprint — the "
+    "rolling-hash family reduced to deterministic md5 fingerprints.",
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(words)))
+        ).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix_fp"),
+    )
