@@ -1,0 +1,108 @@
+"""Shared parse-stage machinery (SURVEY.md §2.2-2.3).
+
+Everything here is pure Column expressions — the parse stage is a per-row
+flatMap with dictionary lookups, which in Spark is `from_json` + expression
+math + `explode`, entirely inside whole-stage codegen. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.functions.scalar import round9
+
+# market types (crypto-market-type enum, serialized snake_case; SURVEY §1.2)
+SPOT = "spot"
+LINEAR_FUTURE = "linear_future"
+INVERSE_FUTURE = "inverse_future"
+LINEAR_SWAP = "linear_swap"
+INVERSE_SWAP = "inverse_swap"
+QUANTO_FUTURE = "quanto_future"
+QUANTO_SWAP = "quanto_swap"
+EUROPEAN_OPTION = "european_option"
+MOVE = "move"
+BVOL = "bvol"
+
+INVERSE = (INVERSE_SWAP, INVERSE_FUTURE)
+LINEARISH = (LINEAR_SWAP, LINEAR_FUTURE, MOVE, BVOL)
+
+
+def quantity_triple(
+    market_type: Column, price: Column, quantity: Column, contract_value: Column
+) -> Column:
+    """(quantity_base, quantity_quote, quantity_contract) as a struct column.
+
+    Reimplements calc_quantity_and_volume
+    (crypto-msg-parser/src/exchanges/utils.rs:33-58) exactly, including the
+    round9 placement:
+      Spot:            (q,            round9(q*p),        NULL)
+      Inverse*:        (q*cv/p,       q*cv,               q)
+      Linear*/Move/BVOL:(round9(q*cv), round9(q*cv*p),    q)
+      EuropeanOption:  (q*cv,         q*cv*p,             q)
+    """
+    qq_inv = quantity * contract_value
+    qb_lin = quantity * contract_value
+    qb = (
+        F.when(market_type == SPOT, quantity)
+        .when(market_type.isin(*INVERSE), qq_inv / price)
+        .when(market_type.isin(*LINEARISH), round9(qb_lin))
+        .when(market_type == EUROPEAN_OPTION, qb_lin)
+    )
+    qq = (
+        F.when(market_type == SPOT, round9(quantity * price))
+        .when(market_type.isin(*INVERSE), qq_inv)
+        .when(market_type.isin(*LINEARISH), round9(qb_lin * price))
+        .when(market_type == EUROPEAN_OPTION, qb_lin * price)
+    )
+    qc = F.when(market_type == SPOT, F.lit(None).cast("double")).otherwise(quantity)
+    return F.struct(
+        qb.alias("quantity_base"),
+        qq.alias("quantity_quote"),
+        qc.alias("quantity_contract"),
+    )
+
+
+def normalize_pair_with_quotes(symbol: Column, quotes: list[str]) -> Column:
+    """BASEQUOTE -> BASE/QUOTE by quote-suffix matching.
+
+    The reference iterates a HashSet (crypto-pair/src/exchanges/utils.rs:22-31)
+    — nondeterministic on conflicting suffixes; the engine matches the
+    LONGEST quote first, which agrees on every unambiguous symbol (all the
+    reference's tests) and is deterministic on the rest.
+    """
+    expr = F.lit(None).cast("string")
+    for q in sorted(quotes, key=len):  # shortest first so longest wins
+        base = F.regexp_replace(symbol, q + "$", "")
+        expr = F.when(
+            symbol.endswith(q) & (F.length(symbol) > len(q)),
+            F.upper(F.concat(base, F.lit("/" + q))),
+        ).otherwise(expr)
+    return expr
+
+
+def sort_book_sides(df, snapshot_col: str = "snapshot"):
+    """Central post-pass (crypto-msg-parser/src/lib.rs:148-161): for
+    snapshots, asks ascending / bids descending by price. Struct arrays sort
+    lexicographically — price is the first field, so array_sort works."""
+    is_snap = F.col(snapshot_col)
+    return df.withColumn(
+        "asks", F.when(is_snap, F.array_sort("asks")).otherwise(F.col("asks"))
+    ).withColumn(
+        "bids",
+        F.when(is_snap, F.reverse(F.array_sort("bids"))).otherwise(F.col("bids")),
+    )
+
+
+def finalize(df, schema):
+    """Project to the canonical column order of an output schema.
+
+    Primitive columns are cast to the declared type; nested array/struct
+    columns are selected as-built (casting would fight nullability flags)."""
+    cols = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if f.dataType.typeName() not in ("array", "struct", "map"):
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,368 @@
+"""Driver-checkable parse-stage queries.
+
+Raw exchange messages are synthesized deterministically from the lineitem
+table (same construction both engines), pushed through the REAL parse
+pipeline on the Spark side, while the DuckDB oracle computes the expected
+normalized values directly from the source columns. This puts the parser's
+JSON handling, pair normalization, quantity math, and fan-out under the
+driver's value-hash gate — complementing the fixture replay in
+tests/test_parser_binance.py which checks reference parity byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.parser import binance
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+# symbol universe for synthesized spot messages: partkey % 4
+_SPOT_SYMBOLS = ["BTCUSDT", "ETHUSDT", "DOGEUSDT", "BNBBTC"]
+_SPOT_PAIRS = ["BTC/USDT", "ETH/USDT", "DOGE/USDT", "BNB/BTC"]
+_SWAP_SYMBOLS = ["BTCUSD_PERP", "ETHUSD_PERP"]
+_SWAP_PAIRS = ["BTC/USD", "ETH/USD"]
+_BASE_TS = 1616176800000
+
+_SQL_SPOT_SYMBOL = (
+    "CASE l_partkey % 4 WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' "
+    "WHEN 2 THEN 'DOGEUSDT' ELSE 'BNBBTC' END"
+)
+_SQL_SPOT_PAIR = (
+    "CASE l_partkey % 4 WHEN 0 THEN 'BTC/USDT' WHEN 1 THEN 'ETH/USDT' "
+    "WHEN 2 THEN 'DOGE/USDT' ELSE 'BNB/BTC' END"
+)
+
+
+def _spot_symbol():
+    c = F.col("l_partkey") % 4
+    return (
+        F.when(c == 0, _SPOT_SYMBOLS[0])
+        .when(c == 1, _SPOT_SYMBOLS[1])
+        .when(c == 2, _SPOT_SYMBOLS[2])
+        .otherwise(_SPOT_SYMBOLS[3])
+    )
+
+
+def _msg_id():
+    return F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+
+
+def _spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"stream":"%s@aggTrade","data":{"e":"aggTrade","E":%d,"s":"%s",'
+        '"a":%d,"p":"%.2f","q":"%.1f","f":1,"l":2,"T":%d,"m":%s}}',
+        F.lower(_spot_symbol()),
+        ts,
+        _spot_symbol(),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        ts - 2,
+        F.when(F.col("l_linenumber") % 2 == 0, "true").otherwise("false"),
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_binance_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           {_SQL_SPOT_SYMBOL} AS symbol,
+           {_SQL_SPOT_PAIR} AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(round(l_quantity, 1) * round(l_extendedprice, 2) * 1000000000)
+             / 1000000000 AS quantity_quote,
+           CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS trade_id
+    FROM lineitem
+    """,
+    doc="end-to-end binance spot aggTrade parse: format -> route -> "
+    "from_json -> pair dict -> quantity triple (Spot: qq=round9(q*p)).",
+)
+def parse_binance_spot_trade(spark, sf_dir):
+    raw = _spot_trade_msgs(spark, sf_dir)
+    parsed = binance.parse_trade(raw)
+    # recover msg_id from the provenance column (json == original msg)
+    back = parsed.join(
+        raw.select("msg_id", F.col("msg").alias("json")), "json"
+    )
+    return back.select(
+        "msg_id",
+        "symbol",
+        "pair",
+        "timestamp",
+        "side",
+        "price",
+        "quantity_base",
+        "quantity_quote",
+        "trade_id",
+    )
+
+
+def _swap_symbol():
+    return F.when(F.col("l_partkey") % 2 == 0, _SWAP_SYMBOLS[0]).otherwise(
+        _SWAP_SYMBOLS[1]
+    )
+
+
+def _swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"stream":"%s@aggTrade","data":{"e":"aggTrade","E":%d,"s":"%s",'
+        '"a":%d,"p":"%.2f","q":"%d","f":1,"l":2,"T":%d,"m":%s}}',
+        F.lower(_swap_symbol()),
+        ts,
+        _swap_symbol(),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity").cast("long"),
+        ts - 2,
+        F.when(F.col("l_linenumber") % 2 == 0, "true").otherwise("false"),
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_binance_inverse_swap_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTCUSD_PERP' ELSE 'ETHUSD_PERP' END
+             AS symbol,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC/USD' ELSE 'ETH/USD' END AS pair,
+           (CAST(l_quantity AS BIGINT) *
+            (CASE WHEN l_partkey % 2 = 0 THEN 100.0 ELSE 10.0 END))
+             / round(l_extendedprice, 2) AS quantity_base,
+           CAST(l_quantity AS BIGINT) *
+            (CASE WHEN l_partkey % 2 = 0 THEN 100.0 ELSE 10.0 END)
+             AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS quantity_contract
+    FROM lineitem
+    """,
+    doc="binance inverse-swap trade: contract-value dictionary (BTC 100 USD "
+    "else 10, crypto-contract-value binance.rs:3-12) + inverse quantity "
+    "triple (qb = q*cv/p).",
+)
+def parse_binance_inverse_swap_trade(spark, sf_dir):
+    raw = _swap_trade_msgs(spark, sf_dir)
+    parsed = binance.parse_trade(raw)
+    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    return back.select(
+        "msg_id", "symbol", "pair", "quantity_base", "quantity_quote",
+        "quantity_contract",
+    )
+
+
+def _funding_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.lit(_BASE_TS) + F.col("o_orderkey")
+    ft = F.lit(1617321600000) + (F.col("o_orderkey") % 10) * 28800000
+    rate = (F.col("o_orderkey") % 200 - 100).cast("double") / 100000.0
+    msg = F.format_string(
+        '{"stream":"%s@markPrice","data":{"e":"markPriceUpdate","E":%d,'
+        '"s":"%s","p":"%.2f","r":"%.5f","T":%d}}',
+        F.lower(_fsymbol()),
+        ts,
+        _fsymbol(),
+        F.col("o_totalprice"),
+        rate,
+        ft,
+    )
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+def _fsymbol():
+    return F.when(F.col("o_orderkey") % 2 == 0, "BTCUSD_PERP").otherwise(
+        "ETHUSD_PERP"
+    )
+
+
+@query(
+    "parse_binance_funding_rate",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS msg_id,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'BTCUSD_PERP' ELSE 'ETHUSD_PERP' END
+             AS symbol,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'BTC/USD' ELSE 'ETH/USD' END AS pair,
+           {_BASE_TS} + o_orderkey AS timestamp,
+           round(CAST(o_orderkey % 200 - 100 AS DOUBLE) / 100000.0, 5)
+             AS funding_rate,
+           1617321600000 + (o_orderkey % 10) * 28800000 AS funding_time
+    FROM orders
+    """,
+    doc="binance markPrice funding-rate parse incl. the 8h funding_time "
+    "alignment the reference asserts (tests/utils.rs:68-88).",
+)
+def parse_binance_funding_rate(spark, sf_dir):
+    raw = _funding_msgs(spark, sf_dir)
+    parsed = binance.parse_funding_rate(raw)
+    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "funding_rate", "funding_time"
+    )
+
+
+def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    p = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    msg = F.format_string(
+        '{"stream":"%s@depth","data":{"e":"depthUpdate","E":%d,"s":"%s",'
+        '"U":%d,"u":%d,"pu":%d,'
+        '"b":[["%.2f","%.1f"],["%.2f","%.1f"]],'
+        '"a":[["%.2f","%.1f"],["%.2f","%.1f"]]}}',
+        F.lower(_spot_symbol()),
+        ts,
+        _spot_symbol(),
+        F.col("l_orderkey") * 100,
+        F.col("l_orderkey") * 100 + 1,
+        F.col("l_orderkey") * 100 - 1,
+        p - 1,
+        q,
+        p - 2,
+        q + 1,
+        p + 1,
+        q,
+        p + 2,
+        q + 1,
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_binance_l2_levels",
+    oracle=f"""
+    WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0),
+    lv AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity,
+             unnest([
+               struct_pack(side := 'ask', idx := 1,
+                           price := round(l_extendedprice + 1, 2),
+                           qty := round(l_quantity, 1)),
+               struct_pack(side := 'ask', idx := 2,
+                           price := round(l_extendedprice + 2, 2),
+                           qty := round(l_quantity + 1, 1)),
+               struct_pack(side := 'bid', idx := 1,
+                           price := round(l_extendedprice - 1, 2),
+                           qty := round(l_quantity, 1)),
+               struct_pack(side := 'bid', idx := 2,
+                           price := round(l_extendedprice - 2, 2),
+                           qty := round(l_quantity + 1, 1))
+             ]) AS o
+      FROM src)
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           {_SQL_SPOT_PAIR} AS pair,
+           l_orderkey * 100 + 1 AS seq_id,
+           CASE WHEN l_orderkey * 100 - 1 = -1 THEN NULL
+                ELSE l_orderkey * 100 - 1 END AS prev_seq_id,
+           o.side AS side, o.idx AS idx,
+           o.price AS price,
+           o.qty AS quantity_base,
+           round(o.qty * o.price * 1000000000) / 1000000000 AS quantity_quote
+    FROM lv
+    """,
+    doc="binance depth (L2) parse: from_json nested level arrays -> order "
+    "structs with spot quantity math; levels exploded for checking.",
+)
+def parse_binance_l2_levels(spark, sf_dir):
+    raw = _l2_msgs(spark, sf_dir)
+    parsed = binance.parse_l2(raw)
+    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    asks = back.select(
+        "msg_id",
+        "pair",
+        "seq_id",
+        "prev_seq_id",
+        F.lit("ask").alias("side"),
+        F.posexplode("asks"),
+    )
+    bids = back.select(
+        "msg_id",
+        "pair",
+        "seq_id",
+        "prev_seq_id",
+        F.lit("bid").alias("side"),
+        F.posexplode("bids"),
+    )
+    both = asks.unionByName(bids)
+    return both.select(
+        "msg_id",
+        "pair",
+        "seq_id",
+        "prev_seq_id",
+        "side",
+        (F.col("pos") + 1).cast("int").alias("idx"),
+        F.col("col.price").alias("price"),
+        F.col("col.quantity_base").alias("quantity_base"),
+        F.col("col.quantity_quote").alias("quantity_quote"),
+    )
+
+
+@query(
+    "binance_router",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE l_linenumber % 3 WHEN 0 THEN 'trade' WHEN 1 THEN 'l2_event'
+                ELSE 'candlestick' END AS msg_type,
+           {_SQL_SPOT_SYMBOL} AS symbol,
+           {_BASE_TS} + l_orderkey AS ts_ms
+    FROM lineitem
+    """,
+    doc="routing triple (get_msg_type/extract_symbol/extract_timestamp, "
+    "SURVEY §3 EP3) over a mixed synthesized stream.",
+)
+def binance_router(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    suffix = (
+        F.when(F.col("l_linenumber") % 3 == 0, "@aggTrade")
+        .when(F.col("l_linenumber") % 3 == 1, "@depth")
+        .otherwise("@kline_1m")
+    )
+    msg = F.format_string(
+        '{"stream":"%s%s","data":{"e":"x","E":%d,"s":"%s"}}',
+        F.lower(_spot_symbol()),
+        suffix,
+        ts,
+        _spot_symbol(),
+    )
+    raw = li.select(_msg_id().alias("msg_id"), msg.alias("msg"))
+    return raw.select(
+        "msg_id",
+        binance.get_msg_type(F.col("msg")).alias("msg_type"),
+        binance.extract_symbol(F.col("msg")).alias("symbol"),
+        binance.extract_timestamp(F.col("msg")).alias("ts_ms"),
+    )
