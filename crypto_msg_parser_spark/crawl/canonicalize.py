@@ -1,0 +1,92 @@
+"""URL canonicalization as pure column expressions.
+
+The frontier's seen-set keys on xxhash64(canonical_url) (north_rule), so
+canonicalization must be deterministic and engine-reproducible:
+
+  1. lowercase scheme and host
+  2. drop the fragment (#...)
+  3. drop default ports (:443 for https, :80 for http)
+  4. sort query parameters bytewise (split on '&', array_sort, rejoin)
+  5. strip a single trailing '/' from a non-root path
+  6. drop an empty query ('?')
+
+All steps are Spark built-ins (regexp + split/array_sort/concat_ws) and have
+exact DuckDB equivalents — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonical_url(url: Column) -> Column:
+    # 1+2: lowercase scheme://host (authority = up to first '/', '?', '#')
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    path_query = F.regexp_replace(rest, r"^[^/?]*", "")
+    # 3: default ports
+    authority = F.when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.regexp_replace(authority, r":443$", ""),
+    ).when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.regexp_replace(authority, r":80$", ""),
+    ).otherwise(authority)
+    # split path vs query
+    path = F.regexp_extract(path_query, r"^([^?]*)", 1)
+    query = F.regexp_replace(path_query, r"^[^?]*\??", "")
+    # 5: trailing slash on non-root path
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+    path = F.when(path == "", "/").otherwise(path)
+    # 4+6: sorted query params
+    sorted_query = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    return F.when(
+        sorted_query == "",
+        F.concat(scheme, F.lit("://"), authority, path),
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), authority, path, F.lit("?"), sorted_query)
+    )
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+# DuckDB oracle twin of canonical_url / url_host, applied to a column expr.
+def sql_canonical_url(col: str) -> str:
+    no_frag = f"regexp_replace({col}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({no_frag}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({no_frag}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    authority = f"lower(regexp_extract({rest}, '^([^/?]*)', 1))"
+    path_query = f"regexp_replace({rest}, '^[^/?]*', '')"
+    authority = (
+        f"CASE WHEN {scheme} = 'https' AND {authority} LIKE '%:443' "
+        f"THEN regexp_replace({authority}, ':443$', '') "
+        f"WHEN {scheme} = 'http' AND {authority} LIKE '%:80' "
+        f"THEN regexp_replace({authority}, ':80$', '') "
+        f"ELSE {authority} END"
+    )
+    path = f"regexp_extract({path_query}, '^([^?]*)', 1)"
+    query = f"regexp_replace({path_query}, '^[^?]*\\??', '')"
+    path = (
+        f"CASE WHEN length({path}) > 1 AND {path} LIKE '%/' "
+        f"THEN regexp_replace({path}, '/$', '') ELSE {path} END"
+    )
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    sorted_query = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"CASE WHEN {sorted_query} = '' THEN {scheme} || '://' || {authority} || {path} "
+        f"ELSE {scheme} || '://' || {authority} || {path} || '?' || {sorted_query} END"
+    )
+
+
+def sql_url_host(col: str) -> str:
+    return f"lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))"

@@ -1,0 +1,168 @@
+"""Frontier seen-set, fetch stub, and checkpoint/resume (north_rule).
+
+Seen-set design for 10^10 URLs:
+  - exact layer: a table of (url_hash, canonical) partitioned by
+    url_hash % P (P sized so each partition's hash set fits an executor);
+    membership = left_anti join on (url_hash, canonical) — hash-collision
+    safe because the canonical string is part of the key
+  - probabilistic prefilter: a Bloom filter per partition built with
+    df.stat.bloomFilter and applied executor-side via an Arrow-vectorized
+    predicate, discarding the vast majority of already-seen URLs before the
+    exact join shuffles anything (scale path; correctness never depends on
+    it). On an Iceberg deployment this layer is the table's
+    write.parquet.bloom-filter-enabled property instead (SURVEY §4).
+  - checkpointing: frontier + seen-set written as parquet snapshots with a
+    manifest JSON carrying per-partition lineage (rows, bytes, min/max hash)
+    — the sandbox stand-in for Iceberg snapshot commits.
+
+The fetch stage itself is sandbox-stubbed (no network): a deterministic
+payload generator with the exact mapInPandas shape a real executor-side
+HTTP fetcher has (batched, per-host budget-aware ordering, returns
+interleaved text+media span documents per BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.crawl.scheduler import schedule
+from crypto_msg_parser_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def dedup_against_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+    """frontier rows whose (url_hash, canonical) is not in the seen set.
+    Both sides pre-partitioned on url_hash at scale -> co-located join."""
+    return frontier.join(
+        seen.select("url_hash", "canonical"), ["url_hash", "canonical"], "left_anti"
+    )
+
+
+def bloom_prefilter(
+    spark: SparkSession, frontier: DataFrame, seen: DataFrame, fpp: float = 0.01
+):
+    """Scale-path prefilter: build a Bloom filter over the seen-set hashes
+    and drop definite-unseen rows from the anti-join input. Never used for
+    correctness decisions alone (false positives fall through to the exact
+    join)."""
+    from crypto_msg_parser_spark.crawl.bloom import build_bloom
+
+    n = seen.count()
+    if n == 0:
+        return frontier, frontier.sparkSession.createDataFrame([], frontier.schema)
+    bloom = build_bloom(seen, "url_hash", fpp)
+    b = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def might_be_seen(h: pd.Series) -> pd.Series:
+        return pd.Series(b.value.might_contain(h.to_numpy()))
+
+    flagged = frontier.withColumn("maybe_seen", might_be_seen(F.col("url_hash")))
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new, needs_check
+
+
+def fetch_stub(scheduled: DataFrame) -> DataFrame:
+    """Deterministic stand-in for the executor-side HTTP fetch stage.
+
+    Real deployment: same mapInPandas shape, but the inner loop issues
+    pipelined HTTP requests with the polite client spec of the reference
+    (10 s timeout, gzip, fixed UA — crypto-msg-parser/src/exchanges/
+    utils.rs:8-24). Here it synthesizes an interleaved text+media span
+    document per URL (kind/text/media_ref/offset), preserving the span-
+    sequence invariant end-to-end."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = f"{r['host']}:{r['epoch']}:{r['in_host_rank']}"
+                body = json.dumps(
+                    {"url": r["canonical"], "host": r["host"], "seq": int(r["in_host_rank"])},
+                    separators=(",", ":"),
+                )
+                mid = len(body) // 2
+                spans = [
+                    {"kind": "text", "text": body[:mid], "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": body[mid:], "media_ref": None, "offset": 1},
+                ]
+                if r["in_host_rank"] % 7 == 0:
+                    spans.append(
+                        {
+                            "kind": "media",
+                            "text": None,
+                            "media_ref": f"media/{doc_id}.svg",
+                            "offset": 2,
+                        }
+                    )
+                rows.append({"doc_id": doc_id, "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return scheduled.mapInPandas(fetch, DOCUMENTS_SCHEMA)
+
+
+class FrontierCheckpoint:
+    """Parquet-snapshot checkpoint with per-partition lineage manifest —
+    the sandbox stand-in for Iceberg snapshot commits."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _snap_dir(self, snapshot_id: str) -> str:
+        return os.path.join(self.root, f"snapshot={snapshot_id}")
+
+    def commit(
+        self, spark: SparkSession, snapshot_id: str, frontier: DataFrame, seen: DataFrame
+    ) -> dict:
+        d = self._snap_dir(snapshot_id)
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        lineage = (
+            seen.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("url_hash").alias("min_hash"),
+                F.max("url_hash").alias("max_hash"),
+            )
+            .collect()
+        )
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "committed_at": time.time(),
+            "frontier_rows": frontier.count(),
+            "seen_rows": seen.count(),
+            "partitions": [r.asDict() for r in lineage],
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        return manifest
+
+    def restore(self, spark: SparkSession, snapshot_id: str):
+        d = self._snap_dir(snapshot_id)
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        frontier = spark.read.parquet(os.path.join(d, "frontier"))
+        seen = spark.read.parquet(os.path.join(d, "seen"))
+        return frontier, seen, manifest
+
+
+def crawl_step(
+    spark: SparkSession, frontier: DataFrame, seen: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One crawl epoch: dedup -> schedule -> fetch -> extend seen set.
+    Returns (documents, new_urls_scheduled, new_seen)."""
+    sched = schedule(frontier)
+    new = dedup_against_seen(sched, seen)
+    docs = fetch_stub(new)
+    new_seen = seen.select("url_hash", "canonical").unionByName(
+        new.select("url_hash", "canonical")
+    )
+    return docs, new, new_seen

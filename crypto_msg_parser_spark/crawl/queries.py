@@ -1,0 +1,187 @@
+"""Driver-checkable crawl-frontier queries (north_rule components).
+
+URLs are synthesized deterministically from the part table in BOTH engines;
+the Spark side runs the real canonicalizer/scheduler code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.crawl.canonicalize import (
+    canonical_url,
+    sql_canonical_url,
+    sql_url_host,
+    url_host,
+)
+from crypto_msg_parser_spark.crawl.scheduler import schedule
+from crypto_msg_parser_spark.functions.scalar import stable_hash64
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+# messy URL synthesis shared by both engines: mixed case, default port,
+# unsorted query, fragment, trailing slash
+_SQL_RAW_URL = (
+    "'HTTPS://Api.Binance.COM:443/api/v3/Depth' "
+    "|| CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END "
+    "|| '?symbol=SYM' || CAST(p_partkey AS VARCHAR) || '&limit=' "
+    "|| CAST(p_partkey % 5 AS VARCHAR) "
+    "|| CASE WHEN p_partkey % 3 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _raw_url():
+    return F.concat(
+        F.lit("HTTPS://Api.Binance.COM:443/api/v3/Depth"),
+        F.when(F.col("p_partkey") % 4 == 0, "/").otherwise(""),
+        F.lit("?symbol=SYM"),
+        F.col("p_partkey").cast("string"),
+        F.lit("&limit="),
+        (F.col("p_partkey") % 5).cast("string"),
+        F.when(F.col("p_partkey") % 3 == 0, "#frag").otherwise(""),
+    )
+
+
+@query(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT p_partkey,
+           {sql_canonical_url(_SQL_RAW_URL)} AS canonical,
+           {sql_url_host(_SQL_RAW_URL)} AS host
+    FROM part
+    """,
+    doc="URL canonicalization: case-fold scheme/host, strip default port + "
+    "fragment + trailing slash, bytewise-sort query params (seen-set key "
+    "normalization, north_rule).",
+)
+def url_canonicalize(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    raw = _raw_url()
+    return p.select(
+        "p_partkey",
+        canonical_url(raw).alias("canonical"),
+        url_host(raw).alias("host"),
+    )
+
+
+# skewed host pick: 60% binance, 20% okx, rest spread (SURVEY §7.3 item 5)
+_SQL_HOST = (
+    "CASE WHEN p_partkey % 10 <= 5 THEN 'api.binance.com' "
+    "WHEN p_partkey % 10 <= 7 THEN 'www.okx.com' "
+    "WHEN p_partkey % 10 = 8 THEN 'api.huobi.pro' "
+    "ELSE 'api.kraken.com' END"
+)
+_SQL_FRONTIER_URL = (
+    "'https://' || " + _SQL_HOST + " || '/api/symbols?id=' || CAST(p_partkey AS VARCHAR)"
+)
+
+
+def _host():
+    k = F.col("p_partkey") % 10
+    return (
+        F.when(k <= 5, "api.binance.com")
+        .when(k <= 7, "www.okx.com")
+        .when(k == 8, "api.huobi.pro")
+        .otherwise("api.kraken.com")
+    )
+
+
+def _frontier_df(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.concat(
+            F.lit("https://"),
+            _host(),
+            F.lit("/api/symbols?id="),
+            F.col("p_partkey").cast("string"),
+        ).alias("url"),
+        _host().alias("host"),
+        (F.col("p_partkey") % 3).cast("int").alias("priority"),
+        F.lit(50).cast("int").alias("rate_budget_per_min"),
+        F.col("p_partkey"),
+    )
+
+
+_SQL_HASH = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@query(
+    "frontier_seen_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS canonical, {_SQL_HOST} AS host, p_partkey
+      FROM part),
+    seen AS (SELECT canonical FROM f WHERE p_partkey % 3 = 0)
+    SELECT host, count(*) AS n_new
+    FROM f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical = f.canonical)
+    GROUP BY host
+    """,
+    doc="URL-seen-set dedup: hash-keyed left_anti join of the frontier "
+    "against the seen table (exact layer; Bloom prefilter is the scale "
+    "path in crawl/frontier.py).",
+)
+def frontier_seen_dedup(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir).withColumn(
+        "canonical", canonical_url(F.col("url"))
+    ).withColumn("url_hash", stable_hash64(F.col("canonical")))
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select("url_hash", "canonical")
+    new = f.join(seen, ["url_hash", "canonical"], "left_anti")
+    return new.groupBy("host").agg(F.count(F.lit(1)).alias("n_new"))
+
+
+@query(
+    "politeness_schedule",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS url, {_SQL_HOST} AS host,
+             p_partkey % 3 AS priority, 50 AS budget
+      FROM part),
+    c AS (
+      SELECT {sql_canonical_url('url')} AS canonical, host, priority, budget,
+             {_SQL_HASH.format(expr=sql_canonical_url("url"))} AS url_hash
+      FROM f),
+    r AS (
+      SELECT canonical, host, url_hash,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority, url_hash, canonical)
+               AS in_host_rank,
+             budget
+      FROM c)
+    SELECT canonical, host, url_hash, in_host_rank,
+           CAST((in_host_rank - 1) // budget AS BIGINT) AS epoch
+    FROM r
+    """,
+    doc="politeness scheduler: per-host (priority, hash) ranking + epoch "
+    "budgeting — the deterministic-visit-order core of the north rule "
+    "(executable oracle: crawl/oracle_sim.py, equality-tested in "
+    "tests/test_crawl.py).",
+)
+def politeness_schedule(spark, sf_dir):
+    sched = schedule(_frontier_df(spark, sf_dir))
+    return sched.select("canonical", "host", "url_hash", "in_host_rank", "epoch")
+
+
+@query(
+    "host_skew_stats",
+    oracle=f"""
+    WITH f AS (SELECT {_SQL_HOST} AS host FROM part),
+    counts AS (SELECT host, count(*) AS n_urls FROM f GROUP BY host)
+    SELECT host, n_urls,
+           CAST(ceil(n_urls / 100.0) AS BIGINT) AS n_salts
+    FROM counts
+    """,
+    doc="host-skew metrics + salt-factor assignment (salted host-hash "
+    "partitioning kills the binance/okx hot keys, north_rule).",
+)
+def host_skew_stats(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    return (
+        f.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            "host",
+            "n_urls",
+            F.ceil(F.col("n_urls") / 100.0).cast("long").alias("n_salts"),
+        )
+    )

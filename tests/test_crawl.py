@@ -1,0 +1,168 @@
+"""Crawl frontier: Spark job vs the single-threaded oracle simulator, plus
+determinism-under-parallelism, fetch-stub span invariants, and
+checkpoint/resume."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.crawl import oracle_sim
+from crypto_msg_parser_spark.crawl.frontier import (
+    FrontierCheckpoint,
+    bloom_prefilter,
+    crawl_step,
+    dedup_against_seen,
+    fetch_stub,
+)
+from crypto_msg_parser_spark.crawl.queries import _frontier_df
+from crypto_msg_parser_spark.crawl.scheduler import schedule, visit_sequence
+from crypto_msg_parser_spark.crawl.seeds import seed_frontier, synthetic_frontier
+from tests.conftest import SF_SMOKE
+
+
+def _sim_rows(spark):
+    rows = [
+        {
+            "url": r["url"],
+            "host": r["host"],
+            "priority": r["priority"],
+            "rate_budget_per_min": r["rate_budget_per_min"],
+        }
+        for r in _frontier_df(spark, SF_SMOKE).collect()
+    ]
+    return rows
+
+
+def test_schedule_matches_oracle_simulator(spark):
+    """north_rule: the distributed schedule reproduces the single-threaded
+    simulator's visit sequence exactly (same seed list + budgets)."""
+    sim = oracle_sim.simulate(_sim_rows(spark))
+    sim_seq = [(r["epoch"], r["host"], r["in_host_rank"], r["canonical"]) for r in sim]
+
+    got = visit_sequence(_frontier_df(spark, SF_SMOKE)).select(
+        "epoch", "host", "in_host_rank", "canonical"
+    ).collect()
+    got_seq = [(r["epoch"], r["host"], r["in_host_rank"], r["canonical"]) for r in got]
+
+    assert got_seq == sorted(sim_seq)
+    # seen-set equality
+    assert {r[3] for r in got_seq} == {r["canonical"] for r in sim}
+
+
+def test_schedule_deterministic_across_parallelism(spark):
+    """Same input at different partition counts -> identical schedule
+    (logical-epoch scheduling, not wall clock)."""
+    f = _frontier_df(spark, SF_SMOKE)
+    a = schedule(f.repartition(2)).select("canonical", "epoch", "in_host_rank")
+    b = schedule(f.repartition(16)).select("canonical", "epoch", "in_host_rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_canonicalization_matches_python_reference(spark):
+    urls = [
+        "HTTPS://Api.Binance.COM:443/api/v3/exchangeInfo?b=2&a=1#frag",
+        "http://example.com:80/path/",
+        "https://www.okx.com/api/v5/public/instruments?instType=SWAP",
+        "https://host.com",
+        "https://host.com/?z=1&y=2&x=3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    from crypto_msg_parser_spark.crawl.canonicalize import canonical_url
+
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    want = [oracle_sim.canonical_url(u) for u in urls]
+    assert got == want
+
+
+def test_fetch_stub_span_invariant(spark):
+    """input_hint invariant: span sequence (kind, text, media_ref, offset)
+    is preserved and offsets are dense ascending."""
+    docs = fetch_stub(schedule(_frontier_df(spark, SF_SMOKE)).limit(50)).collect()
+    assert docs
+    for d in docs:
+        offsets = [s["offset"] for s in d["spans"]]
+        assert offsets == list(range(len(offsets)))
+        text = "".join(s["text"] or "" for s in d["spans"] if s["kind"] == "text")
+        assert text.startswith('{"url":')
+        for s in d["spans"]:
+            if s["kind"] == "media":
+                assert s["media_ref"] and s["text"] is None
+            else:
+                assert s["media_ref"] is None
+
+
+def test_seed_universe(spark):
+    seeds = seed_frontier(spark).collect()
+    hosts = {r["host"] for r in seeds}
+    # the reference's multi-host binance universe (crypto-pair tests hit
+    # api/dapi/fapi/vapi) must be distinct politeness queues
+    assert {"api.binance.com", "dapi.binance.com", "fapi.binance.com"} <= hosts
+    assert len(seeds) == len({r["url"] for r in seeds})
+    full = synthetic_frontier(spark, SF_SMOKE)
+    assert full.count() > len(seeds)
+
+
+def test_bloom_prefilter_partitions_correctly(spark):
+    f = schedule(_frontier_df(spark, SF_SMOKE))
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select("url_hash", "canonical")
+    definitely_new, needs_check = bloom_prefilter(spark, f, seen)
+    n_def, n_chk = definitely_new.count(), needs_check.count()
+    # no false negatives: everything actually seen must be in needs_check
+    truly_seen = f.join(seen, ["url_hash", "canonical"], "left_semi")
+    assert truly_seen.join(
+        definitely_new.select("url_hash"), "url_hash", "left_semi"
+    ).count() == 0
+    assert n_def + n_chk == f.count()
+    # and the exact layer finishes the job identically with or without bloom
+    exact = dedup_against_seen(f, seen)
+    via_bloom = definitely_new.unionByName(
+        dedup_against_seen(needs_check, seen)
+    )
+    assert sorted(r["canonical"] for r in exact.collect()) == sorted(
+        r["canonical"] for r in via_bloom.collect()
+    )
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Interrupted crawl resumed from a snapshot equals the uninterrupted
+    run (per-partition lineage in the manifest)."""
+    f = _frontier_df(spark, SF_SMOKE)
+    empty_seen = spark.createDataFrame([], "url_hash long, canonical string")
+
+    docs1, new1, seen1 = crawl_step(spark, f, empty_seen)
+    ckpt = FrontierCheckpoint(str(tmp_path))
+    manifest = ckpt.commit(spark, "s1", f, seen1)
+    assert manifest["seen_rows"] == seen1.count() > 0
+    assert manifest["partitions"]
+
+    f2, seen2, m2 = ckpt.restore(spark, "s1")
+    assert m2["snapshot_id"] == "s1"
+    # resuming with the restored seen set: nothing new to crawl
+    _, new2, _ = crawl_step(spark, f2, seen2)
+    assert new2.count() == 0
+
+
+def test_crawl_to_parse_pipeline(spark):
+    """End-to-end: frontier -> schedule -> fetch -> span-reassembled docs
+    are valid JSON bodies (the crawl->parse seam)."""
+    docs, new, seen = crawl_step(
+        spark,
+        _frontier_df(spark, SF_SMOKE),
+        spark.createDataFrame([], "url_hash long, canonical string"),
+    )
+    reassembled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+        ).alias("body"),
+    )
+    parsed = reassembled.select(
+        "doc_id", F.get_json_object("body", "$.host").alias("host")
+    )
+    assert parsed.filter(F.col("host").isNull()).count() == 0
