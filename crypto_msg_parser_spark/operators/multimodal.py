@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched mapInPandas stages. The image/audio codec libraries are not
+in this container, so the actual decode is STUBBED: set
+SPARK_GRAFT_REAL_DECODE=1 to hit the NotImplementedError guard; otherwise a
+deterministic fake decoder exercises the full Spark-side plumbing (schema,
+batching, partitioning) that a real PIL/ffmpeg-backed decoder would use
+unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_DDL = (
+    "media_ref string, media_type string, payload binary, "
+    "width int, height int, n_frames int, feature_hash string"
+)
+
+
+def _fake_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in: dimensions and a feature hash derived from
+    content so downstream operators (dedup by feature, size filters) are
+    fully testable."""
+    h = hashlib.md5((ref or "").encode() + (payload or b"")).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 30
+    return width, height, n_frames, h.hex()[:16]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """(media_ref string, media_type string, payload binary) ->
+    + (width, height, n_frames, feature_hash). Arrow-batched; partition
+    count is preserved so a repartition('media_type') upstream co-locates
+    same-codec batches (real decoders amortize codec init per batch)."""
+
+    real = os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real:
+            raise NotImplementedError(
+                "real decode requires PIL/ffmpeg, not present in this "
+                "container; the Spark-side plumbing is identical"
+            )
+        for pdf in batches:
+            meta = [
+                _fake_decode(r, p)
+                for r, p in zip(pdf["media_ref"], pdf["payload"])
+            ]
+            out = pdf.copy()
+            out["width"] = [m[0] for m in meta]
+            out["height"] = [m[1] for m in meta]
+            out["n_frames"] = [m[2] for m in meta]
+            out["feature_hash"] = [m[3] for m in meta]
+            yield out
+
+    return df.mapInPandas(run, MEDIA_META_DDL)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index — a pure
+    explode over the frame count (the decode of each sampled frame would be
+    a second mapInPandas stage in a real pipeline)."""
+    return df.select(
+        "media_ref",
+        "feature_hash",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Pull media spans out of the interleaved documents table into the
+    multimodal shape (payload synthesized from the ref here; a real crawl
+    stores the fetched bytes)."""
+    spans = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media")
+    return spans.select(
+        F.col("s.media_ref").alias("media_ref"),
+        F.when(F.col("s.media_ref").endswith(".svg"), "image/svg+xml")
+        .otherwise("application/octet-stream")
+        .alias("media_type"),
+        F.encode(F.col("s.media_ref"), "utf-8").alias("payload"),
+    )

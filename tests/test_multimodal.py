@@ -1,0 +1,66 @@
+"""Multimodal plumbing: decode stub schema/batching, frame sampling, and
+the documents->media seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.crawl.frontier import fetch_stub
+from crypto_msg_parser_spark.crawl.queries import _frontier_df
+from crypto_msg_parser_spark.crawl.scheduler import schedule
+from crypto_msg_parser_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_from_documents,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = fetch_stub(schedule(_frontier_df(spark, SF_SMOKE)))
+    m = media_from_documents(docs)
+    m.cache()
+    yield m
+    m.unpersist()
+
+
+def test_media_extraction(spark, media):
+    rows = media.collect()
+    assert rows, "fetch stub emits media spans every 7th doc"
+    for r in rows:
+        assert r["media_ref"].startswith("media/")
+        assert r["media_type"] == "image/svg+xml"
+        assert bytes(r["payload"])  # opaque binary column
+
+
+def test_decode_stub_deterministic(spark, media):
+    a = {r["media_ref"]: r["feature_hash"] for r in decode_media(media).collect()}
+    b = {r["media_ref"]: r["feature_hash"] for r in decode_media(media).collect()}
+    assert a == b and a
+    decoded = decode_media(media)
+    for r in decoded.collect():
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 1 <= r["n_frames"] <= 30
+        assert len(r["feature_hash"]) == 16
+
+
+def test_decode_real_path_guarded(spark, media, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_REAL_DECODE", "1")
+    with pytest.raises(Exception) as ei:
+        decode_media(media).collect()
+    assert "NotImplementedError" in str(ei.value) or "real decode" in str(ei.value)
+
+
+def test_frame_sampling(spark, media):
+    decoded = decode_media(media)
+    frames = frame_sample(decoded, every_n=10)
+    per_ref = (
+        frames.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    meta = {r["media_ref"]: r["n_frames"] for r in decoded.collect()}
+    for r in per_ref:
+        expected = (meta[r["media_ref"]] - 1) // 10 + 1
+        assert r["n"] == expected
