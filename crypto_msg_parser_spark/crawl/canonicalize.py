@@ -20,6 +20,76 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def canonicalize_df(df, url_col: str = "url", out: str = "canonical"):
+    """Staged canonicalization over named intermediate columns.
+
+    Same semantics as canonical_url(), but each intermediate is a real
+    column computed once. The single-expression form nests ~15 string ops
+    with repeated subtrees — big enough that whole-stage codegen bails to
+    the interpreted path, where 32 local task threads serialize on shared
+    lazy-compiled regex patterns (measured: 10x slower at 32 cores than 8).
+    This staged, regex-free version stays inside codegen and scales.
+    """
+    d = (
+        df.withColumn("_nf", F.substring_index(F.col(url_col), "#", 1))
+        .withColumn("_scheme", F.lower(F.substring_index("_nf", "://", 1)))
+        .withColumn("_after", F.substring_index("_nf", "://", -1))
+        .withColumn(
+            "_authraw",
+            F.substring_index(F.substring_index("_after", "/", 1), "?", 1),
+        )
+        .withColumn("_auth", F.lower(F.col("_authraw")))
+        .withColumn(
+            "_pq", F.expr("substring(_after, length(_authraw) + 1)")
+        )
+        .withColumn(
+            "_auth",
+            F.when(
+                (F.col("_scheme") == "https") & F.col("_auth").endswith(":443"),
+                F.expr("substring(_auth, 1, length(_auth) - 4)"),
+            )
+            .when(
+                (F.col("_scheme") == "http") & F.col("_auth").endswith(":80"),
+                F.expr("substring(_auth, 1, length(_auth) - 3)"),
+            )
+            .otherwise(F.col("_auth")),
+        )
+        .withColumn("_path", F.substring_index("_pq", "?", 1))
+        .withColumn(
+            "_query",
+            F.when(
+                F.col("_pq").contains("?"),
+                F.expr("substring(_pq, length(_path) + 2)"),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "_path",
+            F.when(
+                (F.length("_path") > 1) & F.col("_path").endswith("/"),
+                F.expr("substring(_path, 1, length(_path) - 1)"),
+            ).otherwise(F.col("_path")),
+        )
+        .withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
+        .withColumn(
+            "_sq", F.concat_ws("&", F.array_sort(F.split("_query", "&", -1)))
+        )
+        .withColumn(
+            out,
+            F.when(
+                F.col("_sq") == "",
+                F.concat("_scheme", F.lit("://"), "_auth", "_path"),
+            ).otherwise(
+                F.concat(
+                    "_scheme", F.lit("://"), "_auth", "_path", F.lit("?"), "_sq"
+                )
+            ),
+        )
+    )
+    return d.drop(
+        "_nf", "_scheme", "_after", "_authraw", "_auth", "_pq", "_path", "_query", "_sq"
+    )
+
+
 def canonical_url(url: Column) -> Column:
     # 1+2: lowercase scheme://host (authority = up to first '/', '?', '#')
     no_frag = F.regexp_replace(url, r"#.*$", "")

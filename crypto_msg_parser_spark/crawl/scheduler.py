@@ -30,22 +30,66 @@ from crypto_msg_parser_spark.crawl.canonicalize import canonical_url
 from crypto_msg_parser_spark.functions.scalar import stable_hash64
 
 
+N_RANK_BUCKETS = 64  # hash-range buckets per host for parallel ranking
+
+
+def prepare_frontier(frontier: DataFrame) -> DataFrame:
+    """Attach (canonical, url_hash) once, at frontier ingest. In a real
+    deployment the frontier is materialized state (an Iceberg table), so
+    canonicalization cost is paid exactly once per discovered URL — never
+    re-derived by downstream stages."""
+    from crypto_msg_parser_spark.crawl.canonicalize import canonicalize_df
+
+    return canonicalize_df(frontier, "url", "canonical").withColumn(
+        "url_hash", stable_hash64(F.col("canonical"))
+    )
+
+
 def schedule(frontier: DataFrame) -> DataFrame:
     """frontier(url, host, priority, rate_budget_per_min, ...) ->
     + (canonical, url_hash, in_host_rank, epoch).
 
-    The returned (epoch, host, in_host_rank) is the total visit order."""
-    w = W.partitionBy("host").orderBy("priority", "url_hash", "canonical")
+    The returned (epoch, host, in_host_rank) is the total visit order.
+
+    Ranking is two-level so one mega-host (binance) never serializes on a
+    single partition: url_hash's range is cut into N_RANK_BUCKETS ordered
+    buckets; row_number runs per (host, priority, bucket) — parallelism =
+    hosts x priorities x buckets — and the exact per-host rank is recovered
+    by adding broadcast cumulative bucket offsets. Identical output to a
+    single per-host window (asserted against the oracle simulator)."""
+    if "url_hash" not in frontier.columns:
+        frontier = prepare_frontier(frontier)
+    # stable_hash64 is 60-bit; 54-bit shift -> 64 ordered range buckets
+    base = frontier.withColumn(
+        "rank_bucket", F.shiftright(F.col("url_hash"), 60 - 6)
+    )
+    w_local = W.partitionBy("host", "priority", "rank_bucket").orderBy(
+        "url_hash", "canonical"
+    )
+    ranked = base.withColumn("local_rank", F.row_number().over(w_local))
+    # tiny side table: cumulative URL counts of all earlier (priority,
+    # bucket) groups within the host
+    w_off = (
+        W.partitionBy("host")
+        .orderBy("priority", "rank_bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("host", "priority", "rank_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .drop("n")
+    )
     return (
-        frontier.withColumn("canonical", canonical_url(F.col("url")))
-        .withColumn("url_hash", stable_hash64(F.col("canonical")))
-        .withColumn("in_host_rank", F.row_number().over(w))
+        ranked.join(F.broadcast(offsets), ["host", "priority", "rank_bucket"])
+        .withColumn("in_host_rank", (F.col("offset") + F.col("local_rank")).cast("int"))
         .withColumn(
             "epoch",
             F.floor((F.col("in_host_rank") - 1) / F.col("rate_budget_per_min")).cast(
                 "long"
             ),
         )
+        .drop("rank_bucket", "local_rank", "offset")
     )
 
 

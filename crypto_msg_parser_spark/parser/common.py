@@ -71,14 +71,18 @@ def normalize_pair_with_quotes(symbol: Column, quotes: list[str]) -> Column:
     LONGEST quote first, which agrees on every unambiguous symbol (all the
     reference's tests) and is deterministic on the rest.
     """
-    expr = F.lit(None).cast("string")
-    for q in sorted(quotes, key=len):  # shortest first so longest wins
-        base = F.regexp_replace(symbol, q + "$", "")
-        expr = F.when(
-            symbol.endswith(q) & (F.length(symbol) > len(q)),
-            F.upper(F.concat(base, F.lit("/" + q))),
-        ).otherwise(expr)
-    return expr
+    # single anchored alternation: the leftmost match start that reaches $
+    # is automatically the LONGEST matching suffix, and one compiled regex
+    # per row keeps this inside whole-stage codegen (a per-quote when-ladder
+    # was 34 regexes per row and throttled the parse stage at high core
+    # counts)
+    pattern = "(" + "|".join(sorted(quotes, key=len, reverse=True)) + ")$"
+    quote = F.regexp_extract(symbol, pattern, 1)
+    base = symbol.substr(F.lit(1), F.length(symbol) - F.length(quote))
+    return F.when(
+        (quote != "") & (F.length(symbol) > F.length(quote)),
+        F.upper(F.concat(base, F.lit("/"), quote)),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def sort_book_sides(df, snapshot_col: str = "snapshot"):

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # RAM-disk shuffle on big-memory nodes: local[N] shuffles through
+        # spark.local.dir, and /dev/shm removes disk I/O from the path
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local"
+            if os.access("/dev/shm", os.W_OK)
+            else "/tmp",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,96 @@
+"""Extract the reference's offline dictionary tables into JSON data files.
+
+These are market FACTS (contract multipliers, tick sizes, symbol ids)
+embedded as offline fallbacks in the reference's Lazy blocks; the engine
+broadcasts them as dimension tables. Output goes to
+crypto_msg_parser_spark/parser/data/*.json.
+
+Run: python tools/extract_dicts.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+REF = pathlib.Path("/root/reference")
+OUT = pathlib.Path(__file__).resolve().parent.parent / (
+    "crypto_msg_parser_spark/parser/data"
+)
+
+PAIR_VAL_RE = re.compile(r'\(\s*"([^"]+)"\s*,\s*([0-9_.eE+-]+)_f64\s*\)')
+LET_RE = re.compile(r"let\s+(\w+)\s*:")
+
+
+def blocks_with_pairs(path: pathlib.Path) -> dict[str, dict[str, float]]:
+    """Map each `let <name>` block to the (pair -> value) entries inside."""
+    text = path.read_text()
+    lets = [(m.start(), m.group(1)) for m in LET_RE.finditer(text)]
+    out: dict[str, dict[str, float]] = {}
+    for m in PAIR_VAL_RE.finditer(text):
+        owner = None
+        for off, name in lets:
+            if off > m.start():
+                break
+            owner = name
+        if owner is None:
+            continue
+        val = float(m.group(2).replace("_", ""))
+        out.setdefault(owner, {})[m.group(1)] = val
+    return out
+
+
+def extract_okx() -> None:
+    # crypto-contract-value/src/exchanges/okx.rs:10-244 (linear_swap /
+    # linear_future / option offline maps)
+    b = blocks_with_pairs(REF / "crypto-contract-value/src/exchanges/okx.rs")
+    data = {
+        "linear_swap": b.get("linear_swap", {}),
+        "linear_future": b.get("linear_future", {}),
+        "european_option": b.get("option", {}),
+    }
+    (OUT / "okx_contract_values.json").write_text(json.dumps(data, indent=1))
+    print("okx:", {k: len(v) for k, v in data.items()})
+
+
+BITMEX_ROW_RE = re.compile(r'\(\s*"([^"]+)"\s*,\s*\(\s*(\d+)\s*,\s*([0-9_.eE+-]+)\s*\)\s*\)')
+
+
+def extract_bitmex_ticks() -> None:
+    # bitmex (symbol -> (index, tick_size)) static table
+    # crypto-msg-parser/src/exchanges/bitmex.rs:20-501
+    text = (REF / "crypto-msg-parser/src/exchanges/bitmex.rs").read_text()
+    rows = {
+        m.group(1): [int(m.group(2)), float(m.group(3).replace("_", ""))]
+        for m in BITMEX_ROW_RE.finditer(text)
+    }
+    (OUT / "bitmex_ticks.json").write_text(json.dumps(rows, indent=0))
+    print("bitmex ticks:", len(rows))
+
+
+def extract_huobi() -> None:
+    b = blocks_with_pairs(REF / "crypto-contract-value/src/exchanges/huobi.rs")
+    (OUT / "huobi_contract_values.json").write_text(json.dumps(b, indent=1))
+    print("huobi:", {k: len(v) for k, v in b.items()})
+
+
+def extract_kraken() -> None:
+    b = blocks_with_pairs(REF / "crypto-contract-value/src/exchanges/kraken.rs")
+    (OUT / "kraken_contract_values.json").write_text(json.dumps(b, indent=1))
+    print("kraken:", {k: len(v) for k, v in b.items()})
+
+
+def extract_bybit() -> None:
+    b = blocks_with_pairs(REF / "crypto-contract-value/src/exchanges/bybit.rs")
+    (OUT / "bybit_contract_values.json").write_text(json.dumps(b, indent=1))
+    print("bybit:", {k: len(v) for k, v in b.items()})
+
+
+if __name__ == "__main__":
+    OUT.mkdir(parents=True, exist_ok=True)
+    extract_okx()
+    extract_bitmex_ticks()
+    extract_huobi()
+    extract_kraken()
+    extract_bybit()
