@@ -1,0 +1,127 @@
+"""Public parse-stage API — the engine twin of the reference's lib.rs surface
+(crypto-msg-parser/src/lib.rs: extract_symbol :14, extract_timestamp :45,
+parse_trade :76, parse_l2 :107, parse_l2_topk :165, parse_bbo :202,
+parse_funding_rate :223, parse_candlestick :256, get_msg_type :316).
+
+Each function takes a raw-message DataFrame with columns
+(msg, exchange, market_type, received_at, ...) and dispatches per exchange.
+The dispatch is a partition-pruning filter per exchange module + unionByName
+— Catalyst merges the per-exchange branches into one scan when the input is
+partitioned by exchange (the recommended layout:
+df.write.partitionBy('exchange', 'market_type', 'msg_type')).
+
+Exchange coverage grows module by module; EXCHANGES maps the reference's 20
+dispatch arms to their implementation status.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.parser import binance, bybit, dydx, huobi, okx
+
+# exchange -> module implementing (a subset of) the parse functions
+_MODULES = {
+    "binance": binance,
+    "huobi": huobi,
+    "okx": okx,
+    "okex": okx,  # alias (lib.rs:36)
+    "bybit": bybit,
+    "dydx": dydx,
+}
+
+IMPLEMENTED = sorted(set(_MODULES) - {"okex"})
+PLANNED = [
+    "bitfinex", "bitget", "bithumb", "bitmex", "bitstamp", "bitz",
+    "coinbase_pro", "deribit", "ftx", "gate", "kraken", "kucoin",
+    "mexc", "zb", "zbg",
+]
+
+
+def _dispatch(df: DataFrame, fn_name: str) -> DataFrame:
+    """Route by the exchange column to each module's parser and union."""
+    parts: list[DataFrame] = []
+    for exchange, mod in _MODULES.items():
+        if exchange == "okex":
+            continue
+        fn: Callable[[DataFrame], DataFrame] | None = getattr(mod, fn_name, None)
+        if fn is None:
+            continue
+        sub = df.filter(
+            F.col("exchange").isin(exchange, *(["okex"] if exchange == "okx" else []))
+        )
+        parts.append(fn(sub))
+    if not parts:
+        raise ValueError(f"no exchange implements {fn_name}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def parse_trade(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_trade")
+
+
+def parse_l2(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_l2")
+
+
+def parse_l2_topk(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_l2_topk")
+
+
+def parse_bbo(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_bbo")
+
+
+def parse_funding_rate(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_funding_rate")
+
+
+def parse_candlestick(df: DataFrame) -> DataFrame:
+    return _dispatch(df, "parse_candlestick")
+
+
+def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
+    expr = F.lit(None).cast("string" if fn_name != "extract_timestamp" else "long")
+    for name, mod in _MODULES.items():
+        if name == "okex":
+            continue
+        fn = getattr(mod, fn_name, None)
+        if fn is None:
+            continue
+        match = exchange.isin(name, *(["okex"] if name == "okx" else []))
+        expr = F.when(match, fn(msg)).otherwise(expr)
+    return expr
+
+
+def get_msg_type(exchange: Column, msg: Column) -> Column:
+    """Routing triple part 1 (lib.rs:316-329)."""
+    return _route_col("get_msg_type", exchange, msg)
+
+
+def extract_symbol(exchange: Column, msg: Column) -> Column:
+    """Routing triple part 2 (lib.rs:14-42); ALL/NONE sentinels preserved."""
+    return _route_col("extract_symbol", exchange, msg)
+
+
+def extract_timestamp(exchange: Column, msg: Column) -> Column:
+    """Routing triple part 3 (lib.rs:45-73); Unix ms or NULL."""
+    return _route_col("extract_timestamp", exchange, msg)
+
+
+def route(df: DataFrame) -> DataFrame:
+    """Tag a raw-message table with (msg_type, symbol, timestamp) — the
+    pre-parse classifier the crawler shards on (SURVEY §3 EP3). This is the
+    one place the crawl job shuffles (by (exchange, msg_type)); everything
+    downstream is partition-local."""
+    return df.select(
+        "*",
+        get_msg_type(F.col("exchange"), F.col("msg")).alias("routed_msg_type"),
+        extract_symbol(F.col("exchange"), F.col("msg")).alias("routed_symbol"),
+        extract_timestamp(F.col("exchange"), F.col("msg")).alias("routed_ts"),
+    )

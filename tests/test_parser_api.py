@@ -1,0 +1,57 @@
+"""Unified dispatch API over a mixed-exchange message table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.parser import api
+from tests.parser_util import fixtures_df, load_fixtures
+
+
+def _mixed_rows(msg_type):
+    rows = []
+    for ex in api.IMPLEMENTED:
+        rows += [
+            r
+            for r in load_fixtures(ex, msg_type)
+            if r["market_type"] not in (None, "european_option")
+            and r["variant"] == ex
+        ]
+    return rows
+
+
+def test_mixed_parse_trade(spark):
+    rows = _mixed_rows("trade")
+    raw = fixtures_df(spark, rows)
+    out = api.parse_trade(raw)
+    got = out.groupBy("exchange").count().collect()
+    by_ex = {r["exchange"]: r["count"] for r in got}
+    assert set(by_ex) == set(api.IMPLEMENTED)
+    assert all(v > 0 for v in by_ex.values())
+    # every record normalized: unified pair + 13-digit ms timestamp
+    bad = out.filter(
+        ~F.col("pair").contains("/") | (F.length(F.col("timestamp").cast("string")) != 13)
+    ).count()
+    assert bad == 0
+
+
+def test_mixed_routing_triple(spark):
+    rows = _mixed_rows("trade") + _mixed_rows("l2_event")
+    raw = fixtures_df(spark, rows)
+    routed = api.route(raw)
+    r = routed.select("exchange", "msg_type", "routed_msg_type", "routed_symbol").collect()
+    for row in r:
+        if row["routed_msg_type"] != "other":
+            assert row["routed_msg_type"] == row["msg_type"], row
+        assert row["routed_symbol"], row
+
+
+def test_dispatch_prunes_unimplemented(spark):
+    # rows from an unimplemented exchange are simply not emitted (the
+    # reference returns an error per message; a table engine drops them
+    # into the unparsed remainder instead)
+    rows = _mixed_rows("trade")
+    raw = fixtures_df(spark, rows).withColumn(
+        "exchange", F.lit("bitstamp")
+    )
+    assert api.parse_trade(raw).count() == 0
