@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crypto_msg_parser_spark.parser import binance, bybit, dydx, huobi, okx
+from crypto_msg_parser_spark.parser import binance, bitmex, bybit, dydx, huobi, okx
 
 # exchange -> module implementing (a subset of) the parse functions
 _MODULES = {
@@ -31,11 +31,12 @@ _MODULES = {
     "okex": okx,  # alias (lib.rs:36)
     "bybit": bybit,
     "dydx": dydx,
+    "bitmex": bitmex,
 }
 
 IMPLEMENTED = sorted(set(_MODULES) - {"okex"})
 PLANNED = [
-    "bitfinex", "bitget", "bithumb", "bitmex", "bitstamp", "bitz",
+    "bitfinex", "bitget", "bithumb", "bitstamp", "bitz",
     "coinbase_pro", "deribit", "ftx", "gate", "kraken", "kucoin",
     "mexc", "zb", "zbg",
 ]

@@ -87,6 +87,18 @@ def extract_bybit() -> None:
     print("bybit:", {k: len(v) for k, v in b.items()})
 
 
+BITMEX_CV_RE = re.compile(r'\(\s*"([a-z_]+\.[^"]+)"\s*,\s*([0-9.eE+-]+)\s*\)')
+
+
+def extract_bitmex_cvs() -> None:
+    # keyed "market_type.pair", default 1.0
+    # (crypto-contract-value/src/exchanges/bitmex.rs:9-142)
+    text = (REF / "crypto-contract-value/src/exchanges/bitmex.rs").read_text()
+    rows = {m.group(1): float(m.group(2)) for m in BITMEX_CV_RE.finditer(text)}
+    (OUT / "bitmex_contract_values.json").write_text(json.dumps(rows, indent=1))
+    print("bitmex cvs:", len(rows))
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     extract_okx()
@@ -94,3 +106,4 @@ if __name__ == "__main__":
     extract_huobi()
     extract_kraken()
     extract_bybit()
+    extract_bitmex_cvs()

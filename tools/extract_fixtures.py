@@ -22,6 +22,8 @@ MOD_TO_MSG_TYPE = {
     "l2_event": "l2_event",
     "l2_orderbook": "l2_event",
     "l2_update": "l2_event",
+    "order_book_l2_25": "l2_event",
+    "order_book_l2": "l2_event",
     "l2_topk": "l2_topk",
     "l2_top20": "l2_topk",
     "l2_snapshot": "l2_snapshot",
