@@ -21,7 +21,15 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crypto_msg_parser_spark.parser import binance, bitmex, bybit, dydx, huobi, okx
+from crypto_msg_parser_spark.parser import (
+    binance,
+    bitmex,
+    bybit,
+    dydx,
+    gate,
+    huobi,
+    okx,
+)
 
 # exchange -> module implementing (a subset of) the parse functions
 _MODULES = {
@@ -32,12 +40,13 @@ _MODULES = {
     "bybit": bybit,
     "dydx": dydx,
     "bitmex": bitmex,
+    "gate": gate,
 }
 
 IMPLEMENTED = sorted(set(_MODULES) - {"okex"})
 PLANNED = [
     "bitfinex", "bitget", "bithumb", "bitstamp", "bitz",
-    "coinbase_pro", "deribit", "ftx", "gate", "kraken", "kucoin",
+    "coinbase_pro", "deribit", "ftx", "kraken", "kucoin",
     "mexc", "zb", "zbg",
 ]
 
@@ -88,7 +97,13 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
 
 
 def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
-    expr = F.lit(None).cast("string" if fn_name != "extract_timestamp" else "long")
+    if fn_name == "get_msg_type":
+        # exchanges without a sniffer return Other (lib.rs:327)
+        expr = F.lit("other")
+    else:
+        expr = F.lit(None).cast(
+            "string" if fn_name != "extract_timestamp" else "long"
+        )
     for name, mod in _MODULES.items():
         if name == "okex":
             continue

@@ -99,6 +99,18 @@ def extract_bitmex_cvs() -> None:
     print("bitmex cvs:", len(rows))
 
 
+def extract_gate() -> None:
+    # crypto-contract-value/src/exchanges/gate.rs: linear_swap (:47+) and
+    # linear_future (:463+) offline maps; inverse is closed-form 1.0 (:528)
+    b = blocks_with_pairs(REF / "crypto-contract-value/src/exchanges/gate.rs")
+    data = {
+        "linear_swap": b.get("linear_swap", {}),
+        "linear_future": b.get("linear_future", {}),
+    }
+    (OUT / "gate_contract_values.json").write_text(json.dumps(data, indent=1))
+    print("gate:", {k: len(v) for k, v in data.items()})
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     extract_okx()
@@ -107,3 +119,4 @@ if __name__ == "__main__":
     extract_kraken()
     extract_bybit()
     extract_bitmex_cvs()
+    extract_gate()
