@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark.parser import (
     binance,
+    bitget,
     bitmex,
     bybit,
     dydx,
     gate,
     huobi,
+    kucoin,
     okx,
 )
 
@@ -41,12 +43,14 @@ _MODULES = {
     "dydx": dydx,
     "bitmex": bitmex,
     "gate": gate,
+    "bitget": bitget,
+    "kucoin": kucoin,
 }
 
 IMPLEMENTED = sorted(set(_MODULES) - {"okex"})
 PLANNED = [
-    "bitfinex", "bitget", "bithumb", "bitstamp", "bitz",
-    "coinbase_pro", "deribit", "ftx", "kraken", "kucoin",
+    "bitfinex", "bithumb", "bitstamp", "bitz",
+    "coinbase_pro", "deribit", "ftx", "kraken",
     "mexc", "zb", "zbg",
 ]
 

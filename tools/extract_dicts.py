@@ -111,6 +111,34 @@ def extract_gate() -> None:
     print("gate:", {k: len(v) for k, v in data.items()})
 
 
+def extract_bitget() -> None:
+    # crypto-contract-value/src/exchanges/bitget.rs:8-38
+    # (LINEAR_SWAP_CONTRACT_VALUES static; single block so no let-scoping)
+    text = (REF / "crypto-contract-value/src/exchanges/bitget.rs").read_text()
+    data = {
+        "linear_swap": {
+            m.group(1): float(m.group(2).replace("_", ""))
+            for m in PAIR_VAL_RE.finditer(text)
+        }
+    }
+    (OUT / "bitget_contract_values.json").write_text(json.dumps(data, indent=1))
+    print("bitget:", {k: len(v) for k, v in data.items()})
+
+
+def extract_kucoin() -> None:
+    # crypto-contract-value/src/exchanges/kucoin.rs:11-269
+    # (LINEAR_CONTRACT_VALUES static; single `let mut` block)
+    text = (REF / "crypto-contract-value/src/exchanges/kucoin.rs").read_text()
+    data = {
+        "linear_swap": {
+            m.group(1): float(m.group(2).replace("_", ""))
+            for m in PAIR_VAL_RE.finditer(text)
+        }
+    }
+    (OUT / "kucoin_contract_values.json").write_text(json.dumps(data, indent=1))
+    print("kucoin:", {k: len(v) for k, v in data.items()})
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     extract_okx()
@@ -120,3 +148,5 @@ if __name__ == "__main__":
     extract_bybit()
     extract_bitmex_cvs()
     extract_gate()
+    extract_bitget()
+    extract_kucoin()
