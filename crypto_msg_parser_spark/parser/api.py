@@ -26,10 +26,12 @@ from crypto_msg_parser_spark.parser import (
     bitget,
     bitmex,
     bybit,
+    deribit,
     dydx,
     gate,
     huobi,
     kucoin,
+    mexc,
     okx,
 )
 
@@ -45,13 +47,15 @@ _MODULES = {
     "gate": gate,
     "bitget": bitget,
     "kucoin": kucoin,
+    "deribit": deribit,
+    "mexc": mexc,
+    "mxc": mexc,  # alias (lib.rs:35)
 }
 
-IMPLEMENTED = sorted(set(_MODULES) - {"okex"})
+IMPLEMENTED = sorted(set(_MODULES) - {"okex", "mxc"})
 PLANNED = [
     "bitfinex", "bithumb", "bitstamp", "bitz",
-    "coinbase_pro", "deribit", "ftx", "kraken",
-    "mexc", "zb", "zbg",
+    "coinbase_pro", "ftx", "kraken", "zb", "zbg",
 ]
 
 
@@ -59,14 +63,13 @@ def _dispatch(df: DataFrame, fn_name: str) -> DataFrame:
     """Route by the exchange column to each module's parser and union."""
     parts: list[DataFrame] = []
     for exchange, mod in _MODULES.items():
-        if exchange == "okex":
+        if exchange in ("okex", "mxc"):
             continue
         fn: Callable[[DataFrame], DataFrame] | None = getattr(mod, fn_name, None)
         if fn is None:
             continue
-        sub = df.filter(
-            F.col("exchange").isin(exchange, *(["okex"] if exchange == "okx" else []))
-        )
+        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(exchange, [])
+        sub = df.filter(F.col("exchange").isin(exchange, *aliases))
         parts.append(fn(sub))
     if not parts:
         raise ValueError(f"no exchange implements {fn_name}")
@@ -109,12 +112,13 @@ def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
             "string" if fn_name != "extract_timestamp" else "long"
         )
     for name, mod in _MODULES.items():
-        if name == "okex":
+        if name in ("okex", "mxc"):
             continue
         fn = getattr(mod, fn_name, None)
         if fn is None:
             continue
-        match = exchange.isin(name, *(["okex"] if name == "okx" else []))
+        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(name, [])
+        match = exchange.isin(name, *aliases)
         expr = F.when(match, fn(msg)).otherwise(expr)
     return expr
 

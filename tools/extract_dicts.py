@@ -139,6 +139,20 @@ def extract_kucoin() -> None:
     print("kucoin:", {k: len(v) for k, v in data.items()})
 
 
+def extract_mexc() -> None:
+    # crypto-contract-value/src/exchanges/mexc.rs:8-466
+    # (LINEAR_CONTRACT_VALUES static; single `let mut` block)
+    text = (REF / "crypto-contract-value/src/exchanges/mexc.rs").read_text()
+    data = {
+        "linear_swap": {
+            m.group(1): float(m.group(2).replace("_", ""))
+            for m in PAIR_VAL_RE.finditer(text)
+        }
+    }
+    (OUT / "mexc_contract_values.json").write_text(json.dumps(data, indent=1))
+    print("mexc:", {k: len(v) for k, v in data.items()})
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     extract_okx()
@@ -150,3 +164,4 @@ if __name__ == "__main__":
     extract_gate()
     extract_bitget()
     extract_kucoin()
+    extract_mexc()
