@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark.parser import (
     binance,
+    bitfinex,
     bitget,
     bitmex,
     bybit,
@@ -33,6 +34,7 @@ from crypto_msg_parser_spark.parser import (
     kucoin,
     mexc,
     okx,
+    zbg,
 )
 
 # exchange -> module implementing (a subset of) the parse functions
@@ -50,12 +52,13 @@ _MODULES = {
     "deribit": deribit,
     "mexc": mexc,
     "mxc": mexc,  # alias (lib.rs:35)
+    "zbg": zbg,
+    "bitfinex": bitfinex,
 }
 
 IMPLEMENTED = sorted(set(_MODULES) - {"okex", "mxc"})
 PLANNED = [
-    "bitfinex", "bithumb", "bitstamp", "bitz",
-    "coinbase_pro", "ftx", "kraken", "zb", "zbg",
+    "bithumb", "bitstamp", "bitz", "coinbase_pro", "ftx", "kraken", "zb",
 ]
 
 

@@ -153,6 +153,41 @@ def extract_mexc() -> None:
     print("mexc:", {k: len(v) for k, v in data.items()})
 
 
+ZBG_SPOT_RE = re.compile(r'\(\s*(\d+),\s*"([a-z0-9_]+)"\s*\)')
+ZBG_SWAP_RE = re.compile(r'\(\s*(\d+),\s*"([A-Za-z0-9_-]+)",\s*([0-9_.eE+-]+)_f64\s*\)')
+
+
+def extract_zbg() -> None:
+    # spot numeric-id -> symbol map (crypto-msg-parser/src/exchanges/zbg/
+    # zbg_spot.rs:16+) and swap (id -> symbol, contract_unit) map
+    # (zbg_swap.rs:15-49)
+    spot_text = (REF / "crypto-msg-parser/src/exchanges/zbg/zbg_spot.rs").read_text()
+    swap_text = (REF / "crypto-msg-parser/src/exchanges/zbg/zbg_swap.rs").read_text()
+    data = {
+        "spot_symbols": {
+            m.group(1): m.group(2) for m in ZBG_SPOT_RE.finditer(spot_text)
+        },
+        "swap_contracts": {
+            m.group(1): [m.group(2), float(m.group(3).replace("_", ""))]
+            for m in ZBG_SWAP_RE.finditer(swap_text)
+        },
+    }
+    (OUT / "zbg_symbols.json").write_text(json.dumps(data, indent=1))
+    print("zbg:", {k: len(v) for k, v in data.items()})
+
+
+BFX_MAP_RE = re.compile(r'\("([A-Za-z0-9]+)",\s*"([^"]+)"\)')
+
+
+def extract_bitfinex() -> None:
+    # currency alias map (crypto-pair/src/exchanges/bitfinex.rs:6-70)
+    text = (REF / "crypto-pair/src/exchanges/bitfinex.rs").read_text()
+    block = text.split("static BITFINEX_MAPPING")[1].split("];")[0]
+    data = {m.group(1): m.group(2) for m in BFX_MAP_RE.finditer(block)}
+    (OUT / "bitfinex_currency_map.json").write_text(json.dumps(data, indent=1))
+    print("bitfinex:", len(data))
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     extract_okx()
@@ -165,3 +200,5 @@ if __name__ == "__main__":
     extract_bitget()
     extract_kucoin()
     extract_mexc()
+    extract_zbg()
+    extract_bitfinex()
