@@ -24,16 +24,23 @@ from pyspark.sql import functions as F
 from crypto_msg_parser_spark.parser import (
     binance,
     bitfinex,
+    bithumb,
+    bitstamp,
+    bitz,
     bitget,
     bitmex,
     bybit,
+    coinbase_pro,
     deribit,
     dydx,
+    ftx,
     gate,
     huobi,
+    kraken,
     kucoin,
     mexc,
     okx,
+    zb,
     zbg,
 )
 
@@ -54,12 +61,17 @@ _MODULES = {
     "mxc": mexc,  # alias (lib.rs:35)
     "zbg": zbg,
     "bitfinex": bitfinex,
+    "kraken": kraken,
+    "ftx": ftx,
+    "zb": zb,
+    "coinbase_pro": coinbase_pro,
+    "bithumb": bithumb,
+    "bitstamp": bitstamp,
+    "bitz": bitz,
 }
 
 IMPLEMENTED = sorted(set(_MODULES) - {"okex", "mxc"})
-PLANNED = [
-    "bithumb", "bitstamp", "bitz", "coinbase_pro", "ftx", "kraken", "zb",
-]
+PLANNED: list[str] = []  # all 20 reference dispatch arms implemented
 
 
 def _dispatch(df: DataFrame, fn_name: str) -> DataFrame:

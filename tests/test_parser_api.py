@@ -11,12 +11,20 @@ from tests.parser_util import fixtures_df, load_fixtures
 def _mixed_rows(msg_type):
     rows = []
     for ex in api.IMPLEMENTED:
-        rows += [
-            r
-            for r in load_fixtures(ex, msg_type)
-            if r["market_type"] not in (None, "european_option")
-            and r["variant"] == ex
-        ]
+        for r in load_fixtures(ex):
+            # small exchanges carry msg_type only in the fixture id; the
+            # id grammar is <exchange>:<msg_type>:<variant>:<n> (or with a
+            # None slot for untyped extracts)
+            mt = r["msg_type"] or (
+                msg_type if f":{msg_type}:" in r["fixture_id"] else None
+            )
+            if mt != msg_type or r["variant"] != ex:
+                continue
+            if r["market_type"] == "european_option":
+                continue
+            rows.append(
+                dict(r, market_type=r["market_type"] or "spot", msg_type=mt)
+            )
     return rows
 
 
@@ -47,11 +55,11 @@ def test_mixed_routing_triple(spark):
 
 
 def test_dispatch_prunes_unimplemented(spark):
-    # rows from an unimplemented exchange are simply not emitted (the
-    # reference returns an error per message; a table engine drops them
-    # into the unparsed remainder instead)
+    # rows from an unknown exchange are simply not emitted (the reference
+    # panics per message; a table engine drops them into the unparsed
+    # remainder instead)
     rows = _mixed_rows("trade")
     raw = fixtures_df(spark, rows).withColumn(
-        "exchange", F.lit("bitstamp")
+        "exchange", F.lit("poloniex")
     )
     assert api.parse_trade(raw).count() == 0
