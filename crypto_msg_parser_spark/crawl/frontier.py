@@ -39,7 +39,24 @@ from crypto_msg_parser_spark.schemas import DOCUMENTS_SCHEMA
 
 def dedup_against_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
     """frontier rows whose (url_hash, canonical) is not in the seen set.
-    Both sides pre-partitioned on url_hash at scale -> co-located join."""
+
+    When both sides carry the stored `rank_bucket` column (the Iceberg
+    bucket(N, url_hash) layout, scheduler.bucketize), it is prepended to
+    the join key: the bucket is a pure function of url_hash so the join
+    semantics are unchanged, but co-partitioned inputs then satisfy the
+    join's clustering requirement and the planner emits NO exchange —
+    the anti-join is partition-local at any frontier size."""
+    if "rank_bucket" in frontier.columns and "rank_bucket" in seen.columns:
+        # hint("merge"): the co-partitioned SMJ is exchange-free and its
+        # per-partition sorts parallelize; the planner's broadcast pick
+        # would serialize on the driver-side hashed-relation build (a
+        # fixed ~1s that flattens the N->4N scaling curve) and could not
+        # exist at 10^10 seen rows anyway
+        return frontier.join(
+            seen.select("rank_bucket", "url_hash", "canonical").hint("merge"),
+            ["rank_bucket", "url_hash", "canonical"],
+            "left_anti",
+        )
     return frontier.join(
         seen.select("url_hash", "canonical"), ["url_hash", "canonical"], "left_anti"
     )

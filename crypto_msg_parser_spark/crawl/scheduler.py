@@ -15,10 +15,23 @@ single-threaded executable oracle):
 
 Determinism under parallelism comes from scheduling by *logical epoch*, not
 wall clock: any cluster size produces the identical (epoch, host, rank)
-triple per URL, hence the identical visit sequence. In Spark the whole
-schedule is two window functions over a shuffle on host — no driver loop,
-no collect; at 10^10 URLs the shuffle key (host) is salted for storage but
-ranks are computed per real host (skew handled by AQE; binance/okx dominate).
+triple per URL, hence the identical visit sequence.
+
+Physical layout (the scale story): frontier state lives BUCKETED by
+`rank_bucket` — the top bits of the canonical-url hash (in Iceberg:
+`bucket(N, url_hash)` partition transform). Because the bucket is
+
+  (a) a pure function of url_hash, and
+  (b) a subset of every downstream clustering key,
+
+one stored partitioning is reused by ALL steady-state stages with zero
+exchanges: the ranking window clusters on (host, priority, rank_bucket) ⊇
+{rank_bucket}; the seen-set anti-join adds rank_bucket to its join key so
+both sides are co-partitioned (frontier.py). The only shuffled data in the
+whole scheduler is a hosts×priorities×buckets count table (KBs). At 10^10
+URLs the shuffle that would otherwise dominate simply does not exist; the
+bucket count (N_RANK_BUCKETS) only has to keep single-bucket row counts
+inside an executor's memory.
 """
 
 from __future__ import annotations
@@ -30,19 +43,32 @@ from crypto_msg_parser_spark.crawl.canonicalize import canonical_url
 from crypto_msg_parser_spark.functions.scalar import stable_hash64
 
 
-N_RANK_BUCKETS = 64  # hash-range buckets per host for parallel ranking
+N_RANK_BUCKETS = 1024  # hash-range buckets (Iceberg bucket(N) stand-in)
+_BUCKET_SHIFT = 60 - 10  # stable_hash64 is 60-bit; top 10 bits -> 1024
 
 
 def prepare_frontier(frontier: DataFrame) -> DataFrame:
-    """Attach (canonical, url_hash) once, at frontier ingest. In a real
-    deployment the frontier is materialized state (an Iceberg table), so
-    canonicalization cost is paid exactly once per discovered URL — never
-    re-derived by downstream stages."""
+    """Attach (canonical, url_hash, rank_bucket) once, at frontier ingest.
+    In a real deployment the frontier is materialized state (an Iceberg
+    table bucketed by rank_bucket), so canonicalization cost is paid exactly
+    once per discovered URL — never re-derived by downstream stages."""
     from crypto_msg_parser_spark.crawl.canonicalize import canonicalize_df
 
-    return canonicalize_df(frontier, "url", "canonical").withColumn(
-        "url_hash", stable_hash64(F.col("canonical"))
+    return (
+        canonicalize_df(frontier, "url", "canonical")
+        .withColumn("url_hash", stable_hash64(F.col("canonical")))
+        .withColumn("rank_bucket", F.shiftright(F.col("url_hash"), _BUCKET_SHIFT))
     )
+
+
+def bucketize(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Materialization layout: hash-cluster on rank_bucket (the sandbox
+    stand-in for writing an Iceberg table with a bucket(N, url_hash)
+    partition spec). Downstream ranking windows and seen-set joins then
+    plan with ZERO exchanges (their clustering keys contain rank_bucket)."""
+    if partitions:
+        return df.repartition(partitions, "rank_bucket")
+    return df.repartition("rank_bucket")
 
 
 def schedule(frontier: DataFrame) -> DataFrame:
@@ -53,15 +79,21 @@ def schedule(frontier: DataFrame) -> DataFrame:
 
     Ranking is two-level so one mega-host (binance) never serializes on a
     single partition: url_hash's range is cut into N_RANK_BUCKETS ordered
-    buckets; row_number runs per (host, priority, bucket) — parallelism =
-    hosts x priorities x buckets — and the exact per-host rank is recovered
-    by adding broadcast cumulative bucket offsets. Identical output to a
-    single per-host window (asserted against the oracle simulator)."""
+    buckets; row_number runs per (host, priority, bucket) — and because the
+    frontier is stored bucketed on rank_bucket, this window needs NO
+    exchange, only a per-partition sort. The exact per-host rank is
+    recovered by adding broadcast cumulative bucket offsets (a tiny
+    hosts×priorities×buckets count table — the only shuffle here).
+    Identical output to a single per-host window (asserted against the
+    oracle simulator)."""
     if "url_hash" not in frontier.columns:
         frontier = prepare_frontier(frontier)
-    # stable_hash64 is 60-bit; 54-bit shift -> 64 ordered range buckets
-    base = frontier.withColumn(
-        "rank_bucket", F.shiftright(F.col("url_hash"), 60 - 6)
+    base = (
+        frontier
+        if "rank_bucket" in frontier.columns
+        else frontier.withColumn(
+            "rank_bucket", F.shiftright(F.col("url_hash"), _BUCKET_SHIFT)
+        )
     )
     w_local = W.partitionBy("host", "priority", "rank_bucket").orderBy(
         "url_hash", "canonical"
@@ -89,11 +121,13 @@ def schedule(frontier: DataFrame) -> DataFrame:
                 "long"
             ),
         )
-        .drop("rank_bucket", "local_rank", "offset")
+        .drop("local_rank", "offset")
     )
 
 
 def visit_sequence(frontier: DataFrame) -> DataFrame:
     """Globally ordered visit sequence (collect-free; ordering is encoded in
     the sort key, materialized only when written)."""
-    return schedule(frontier).orderBy("epoch", "host", "in_host_rank")
+    return schedule(frontier).drop("rank_bucket").orderBy(
+        "epoch", "host", "in_host_rank"
+    )

@@ -106,6 +106,22 @@ def parse_l2_topk(df: DataFrame) -> DataFrame:
     return _dispatch(df, "parse_l2_topk")
 
 
+def parse_l2_snapshot(df: DataFrame) -> DataFrame:
+    """REST depth snapshots — binance/bitfinex/bitget only
+    (lib.rs:286-298). The input needs a `routed_symbol` column for the
+    response formats that embed no symbol (the reference's Option<&str>
+    parameter, filled by the crawler from the request URL)."""
+    parts = []
+    for name in ("binance", "bitfinex", "bitget"):
+        mod = _MODULES[name]
+        sub = df.filter(F.col("exchange") == name)
+        parts.append(mod.parse_l2_snapshot(sub))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def parse_bbo(df: DataFrame) -> DataFrame:
     return _dispatch(df, "parse_bbo")
 

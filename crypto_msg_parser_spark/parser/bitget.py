@@ -554,3 +554,52 @@ def _parse_candle_legacy(df: DataFrame) -> DataFrame:
         .alias("quote_volume"),
     )
     return finalize(out, schemas.CANDLESTICK_SCHEMA)
+
+
+def parse_l2_snapshot(df: DataFrame, symbol_col: str = "routed_symbol") -> DataFrame:
+    """REST depth snapshot (bitget_mix.rs:216-260): RestMsg with
+    data.{asks,bids,timestamp}; symbol supplied by the crawl context;
+    quantities via calc_quantity_and_volume with the legacy cv dict."""
+    d = F.from_json(
+        F.get_json_object("msg", "$.data"),
+        "struct<timestamp:string, asks:array<array<string>>,"
+        " bids:array<array<string>>>",
+    )
+    base = (
+        df.filter(F.get_json_object("msg", "$.code") == "00000")
+        .withColumn("d", d)
+        .filter(F.col("d.timestamp").isNotNull())
+        .withColumn(
+            "symbol",
+            F.col(symbol_col) if symbol_col in df.columns else F.lit(None).cast("string"),
+        )
+        .withColumn("pair", normalize_pair(F.col("symbol")))
+    )
+    base = with_contract_value(base)
+
+    def order(lv):
+        price = lv.getItem(0).cast("double")
+        qty = lv.getItem(1).cast("double")
+        q = quantity_triple(F.col("market_type"), price, qty, F.col("cv"))
+        return F.struct(
+            price.alias("price"),
+            q["quantity_base"].alias("quantity_base"),
+            q["quantity_quote"].alias("quantity_quote"),
+            q["quantity_contract"].alias("quantity_contract"),
+        )
+
+    out = base.select(
+        F.lit(EXCHANGE).alias("exchange"),
+        "market_type",
+        "symbol",
+        "pair",
+        F.lit("l2_snapshot").alias("msg_type"),
+        F.col("d.timestamp").cast("long").alias("timestamp"),
+        F.col("msg").alias("json"),
+        F.lit(True).alias("snapshot"),
+        F.transform(F.coalesce("d.asks", F.array()), order).alias("asks"),
+        F.transform(F.coalesce("d.bids", F.array()), order).alias("bids"),
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("prev_seq_id"),
+    )
+    return finalize(sort_book_sides(out), schemas.ORDERBOOK_SCHEMA)
