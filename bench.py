@@ -34,6 +34,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "parse_binance_spot_trade",
+    "parse_gate_linear_swap_trade",
+    "route_mixed_exchanges",
     "politeness_schedule",
 ]
 

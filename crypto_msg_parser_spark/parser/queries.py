@@ -366,3 +366,179 @@ def binance_router(spark, sf_dir):
         binance.extract_symbol(F.col("msg")).alias("symbol"),
         binance.extract_timestamp(F.col("msg")).alias("ts_ms"),
     )
+
+
+# ---------------------------------------------------------------- gate
+
+def _gate_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    signed = F.col("l_quantity").cast("long") * F.when(
+        F.col("l_linenumber") % 2 == 0, -1
+    ).otherwise(1)
+    msg = F.format_string(
+        '{"time":%d,"channel":"futures.trades","event":"update","result":'
+        '[{"size":%d,"id":%d,"create_time":%d,"create_time_ms":%d,'
+        '"price":"%.2f","contract":"BTC_USDT"}]}',
+        (ts / 1000).cast("long"),
+        signed,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        (ts / 1000).cast("long"),
+        ts,
+        F.col("l_extendedprice"),
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("gate").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_gate_linear_swap_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'BTC_USDT' AS symbol,
+           'BTC/USDT' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(CAST(l_quantity AS BIGINT) * 0.0001 * 1000000000)
+             / 1000000000 AS quantity_base,
+           round(CAST(l_quantity AS BIGINT) * 0.0001
+                 * round(l_extendedprice, 2) * 1000000000)
+             / 1000000000 AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS quantity_contract
+    FROM lineitem
+    """,
+    doc="gate linear-swap trade: broadcast contract-value dict (BTC/USDT "
+    "quanto multiplier 0.0001, crypto-contract-value gate.rs) + signed-size "
+    "side + round9 linear quantity triple + create_time_ms timestamps.",
+)
+def parse_gate_linear_swap_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import gate
+
+    raw = _gate_swap_trade_msgs(spark, sf_dir)
+    parsed = gate.parse_trade(raw)
+    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "side", "price",
+        "quantity_base", "quantity_quote", "quantity_contract",
+    )
+
+
+# ---------------------------------------------------------------- kucoin
+
+def _kucoin_spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    ns = ts * 1000000 + F.col("l_linenumber") * 137
+    msg = F.format_string(
+        '{"type":"message","topic":"/market/match:BTC-USDT",'
+        '"subject":"trade.l3match","data":{"symbol":"BTC-USDT",'
+        '"sequence":"%d","side":"%s","size":"%.1f","price":"%.2f",'
+        '"time":"%d"}}',
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        ns,
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("kucoin").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_kucoin_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'BTC-USDT' AS symbol,
+           'BTC/USDT' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_quantity, 1) AS quantity_base,
+           round(l_extendedprice, 2) * round(l_quantity, 1) AS quantity_quote,
+           CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS trade_id
+    FROM lineitem
+    """,
+    doc="kucoin spot match: nanosecond timestamps floored to ms "
+    "(kucoin_spot.rs:98), plain price*size quote (no round9), sequence ids.",
+)
+def parse_kucoin_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import kucoin
+
+    raw = _kucoin_spot_trade_msgs(spark, sf_dir)
+    parsed = kucoin.parse_trade(raw)
+    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "side",
+        "quantity_base", "quantity_quote", "trade_id",
+    )
+
+
+# ---------------------------------------------------------------- routing
+
+@query(
+    "route_mixed_exchanges",
+    oracle=f"""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_orderkey % 3 AS fam,
+               {_BASE_TS} + l_orderkey AS ts
+        FROM lineitem
+    )
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE fam WHEN 0 THEN 'huobi' WHEN 1 THEN 'okx' ELSE 'gate' END
+             AS exchange,
+           CASE fam WHEN 0 THEN 'trade' WHEN 1 THEN 'trade' ELSE 'other' END
+             AS routed_msg_type,
+           CASE fam WHEN 0 THEN 'btcusdt' WHEN 1 THEN 'BTC-USDT'
+                ELSE 'BTC_USDT' END AS routed_symbol,
+           ts AS routed_ts
+    FROM src
+    """,
+    doc="pre-parse routing triple over a mixed huobi/okx/gate stream — the "
+    "classifier the crawler shards on (SURVEY §3 EP3); gate routes to "
+    "'other' because the reference has no gate get_msg_type (lib.rs:327).",
+)
+def route_mixed_exchanges(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import api
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    fam = F.col("l_orderkey") % 3
+    huobi_msg = F.format_string(
+        '{"ch":"market.btcusdt.trade.detail","ts":%d,"tick":{"id":1,'
+        '"ts":%d,"data":[{"id":7,"ts":%d,"tradeId":9,"amount":1.0,'
+        '"price":2.0,"direction":"buy"}]}}',
+        ts, ts, ts,
+    )
+    okx_msg = F.format_string(
+        '{"arg":{"channel":"trades","instId":"BTC-USDT"},"data":'
+        '[{"instId":"BTC-USDT","tradeId":"1","px":"2.0","sz":"1.0",'
+        '"side":"buy","ts":"%d"}]}',
+        ts,
+    )
+    gate_msg = F.format_string(
+        '{"time":%d,"channel":"spot.trades","event":"update","result":'
+        '{"id":1,"create_time":%d,"create_time_ms":"%d","side":"buy",'
+        '"currency_pair":"BTC_USDT","amount":"1.0","price":"2.0"}}',
+        (ts / 1000).cast("long"), (ts / 1000).cast("long"), ts,
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.when(fam == 0, "huobi").when(fam == 1, "okx").otherwise("gate").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        F.when(fam == 0, huobi_msg).when(fam == 1, okx_msg).otherwise(gate_msg).alias("msg"),
+    )
+    routed = api.route(raw)
+    return routed.select(
+        "msg_id", "exchange", "routed_msg_type", "routed_symbol", "routed_ts"
+    )
