@@ -576,65 +576,75 @@ def _quantity_py(market_type: str, pair: str, price: float, qty: float, cv: dict
     return _round9_py(qty * v), _round9_py(qty * v * price), qty
 
 
+def _replay_futures_update(
+    msg: str, market_type: str, price_side: dict, cv: dict
+):
+    """Replay ONE futures.order_book update delta against the per-symbol
+    price->is_ask state (gate_swap.rs:333-400): sign routes side; s==0
+    deletions resolve against the remembered side of that price. Mutates
+    `price_side`; returns an OrderBookMsg-shaped dict or None. Shared by
+    the batch applyInPandas and the streaming applyInPandasWithState
+    realizations."""
+    m = json.loads(msg)
+    levels = m.get("result") or []
+    if not isinstance(levels, list) or not levels:
+        return None
+    if market_type == "linear_future":
+        symbol = levels[0].get("c")
+    else:
+        symbol = levels[0].get("contract")
+    if not symbol:
+        return None
+    parts = symbol.split("_")
+    pair = f"{parts[0]}/{parts[1]}" if len(parts) >= 2 else None
+    asks, bids = [], []
+    for lv in levels:
+        p_str = lv["p"]
+        s = float(lv["s"])
+        price = float(p_str)
+        qb, qq, qc = _quantity_py(market_type, pair, price, abs(s), cv)
+        order = {
+            "price": price,
+            "quantity_base": qb,
+            "quantity_quote": qq,
+            "quantity_contract": qc,
+        }
+        if s < 0:
+            asks.append(order)
+            price_side[p_str] = True
+        elif s > 0:
+            bids.append(order)
+            price_side[p_str] = False
+        elif p_str in price_side:
+            (asks if price_side.pop(p_str) else bids).append(order)
+    return {
+        "exchange": EXCHANGE,
+        "market_type": market_type,
+        "symbol": symbol,
+        "pair": pair,
+        "msg_type": "l2_event",
+        "timestamp": int(m["time"]) * 1000,
+        "json": msg,
+        "snapshot": False,
+        "asks": asks,
+        "bids": bids,
+        "seq_id": None,
+        "prev_seq_id": None,
+    }
+
+
 def _parse_futures_update_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-symbol ordered replay of futures.order_book deltas
-    (gate_swap.rs:333-400): sign routes side; s==0 deletions resolve against
-    the remembered side of that price. Runs inside applyInPandas — the one
-    place the engine keeps cross-message state (SURVEY §2.9)."""
+    """Per-symbol ordered replay of futures.order_book deltas. Runs inside
+    applyInPandas — the one place the engine keeps cross-message state
+    (SURVEY §2.9)."""
     cv = json.loads(_DATA.read_text())
     pdf = pdf.sort_values(["received_at", "msg_id"], kind="stable")
     price_side: dict[str, bool] = {}  # price-string -> is_ask
     out = []
     for row in pdf.itertuples():
-        m = json.loads(row.msg)
-        levels = m.get("result") or []
-        if not isinstance(levels, list) or not levels:
-            continue
-        market_type = row.market_type
-        if market_type == "linear_future":
-            symbol = levels[0].get("c")
-        else:
-            symbol = levels[0].get("contract")
-        if not symbol:
-            continue
-        parts = symbol.split("_")
-        pair = f"{parts[0]}/{parts[1]}" if len(parts) >= 2 else None
-        asks, bids = [], []
-        for lv in levels:
-            p_str = lv["p"]
-            s = float(lv["s"])
-            price = float(p_str)
-            qb, qq, qc = _quantity_py(market_type, pair, price, abs(s), cv)
-            order = {
-                "price": price,
-                "quantity_base": qb,
-                "quantity_quote": qq,
-                "quantity_contract": qc,
-            }
-            if s < 0:
-                asks.append(order)
-                price_side[p_str] = True
-            elif s > 0:
-                bids.append(order)
-                price_side[p_str] = False
-            elif p_str in price_side:
-                (asks if price_side.pop(p_str) else bids).append(order)
-        out.append(
-            {
-                "exchange": EXCHANGE,
-                "market_type": market_type,
-                "symbol": symbol,
-                "pair": pair,
-                "msg_type": "l2_event",
-                "timestamp": int(m["time"]) * 1000,
-                "json": row.msg,
-                "snapshot": False,
-                "asks": asks,
-                "bids": bids,
-                "seq_id": None,
-                "prev_seq_id": None,
-            }
-        )
+        rec = _replay_futures_update(row.msg, row.market_type, price_side, cv)
+        if rec is not None:
+            out.append(rec)
     cols = [f.name for f in schemas.ORDERBOOK_SCHEMA.fields]
     return pd.DataFrame(out, columns=cols)
 

@@ -69,7 +69,7 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -85,3 +85,112 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RAW_MSG_DDL = (
+    "msg_id string, exchange string, market_type string, msg_type string, "
+    "received_at bigint, msg string"
+)
+
+
+def stream_raw_messages(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a raw-message parquet directory (the shape
+    the crawl's fetch stage lands)."""
+    return spark.readStream.schema(RAW_MSG_DDL).parquet(src_dir)
+
+
+def gate_futures_l2_stateful(raw: DataFrame) -> DataFrame:
+    """Streaming realization of the reference's ONE stateful operator —
+    gate futures.order_book deltas whose s==0 deletions route by the
+    remembered side of the price (gate/gate_swap.rs:268-271,355-380).
+
+    Per-symbol price->is_ask state persists ACROSS micro-batches via
+    applyInPandasWithState (SURVEY §2.9); the replay logic is byte-shared
+    with the batch applyInPandas path (parser/gate._replay_futures_update),
+    so batch/stream parity is structural, not re-implemented."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from crypto_msg_parser_spark.parser.gate import (
+        _DATA,
+        _replay_futures_update,
+    )
+
+    ev = F.get_json_object("msg", "$.event")
+    upd = (
+        raw.filter(
+            (F.col("exchange") == "gate")
+            & (F.get_json_object("msg", "$.channel") == "futures.order_book")
+            & (ev == "update")
+        )
+        .withColumn(
+            "state_key",
+            F.coalesce(
+                F.get_json_object("msg", "$.result[0].contract"),
+                F.get_json_object("msg", "$.result[0].c"),
+            ),
+        )
+    )
+
+    out_ddl = (
+        "symbol string, market_type string, timestamp bigint, "
+        "n_asks int, n_bids int, asks_json string, bids_json string"
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cv = _json.loads(_DATA.read_text())
+        if state.exists:
+            (blob,) = state.get
+            price_side = dict(_json.loads(blob))
+        else:
+            price_side = {}
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["received_at", "msg_id"], kind="stable")
+            for r in pdf.itertuples():
+                rec = _replay_futures_update(
+                    r.msg, r.market_type, price_side, cv
+                )
+                if rec is None:
+                    continue
+                rows.append(
+                    {
+                        "symbol": rec["symbol"],
+                        "market_type": rec["market_type"],
+                        "timestamp": rec["timestamp"],
+                        "n_asks": len(rec["asks"]),
+                        "n_bids": len(rec["bids"]),
+                        "asks_json": _json.dumps(rec["asks"]),
+                        "bids_json": _json.dumps(rec["bids"]),
+                    }
+                )
+        state.update((_json.dumps(list(price_side.items())),))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "symbol", "market_type", "timestamp",
+                "n_asks", "n_bids", "asks_json", "bids_json",
+            ],
+        )
+
+    return upd.groupBy("state_key").applyInPandasWithState(
+        update,
+        outputStructType=out_ddl,
+        stateStructType="price_side string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def parse_trades_stream(raw: DataFrame) -> DataFrame:
+    """The stateless parse stage under readStream, unchanged — the same
+    Catalyst column pipeline runs in micro-batches (SURVEY §2.9)."""
+    from crypto_msg_parser_spark.parser import api
+
+    return api.parse_trade(raw)

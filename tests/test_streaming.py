@@ -85,3 +85,97 @@ def test_streaming_parse_trade(spark, tmp_path):
     want = binance.parse_trade(raw).collect()
     assert sorted(r["trade_id"] for r in got) == sorted(r["trade_id"] for r in want)
     assert len(got) == len(rows)
+
+
+def test_gate_stateful_l2_stream_crosses_microbatches(spark, tmp_path):
+    """The reference's one stateful operator under Structured Streaming:
+    a deletion (s==0) arriving in a LATER micro-batch must route to the
+    side remembered from an EARLIER one (gate_swap.rs:355-380)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from crypto_msg_parser_spark.parser import gate
+    from crypto_msg_parser_spark.schemas import RAW_MESSAGES_SCHEMA
+    from crypto_msg_parser_spark.streaming.jobs import (
+        gate_futures_l2_stateful,
+        stream_raw_messages,
+    )
+
+    sym = "BTC_USD_20300101"
+    msg1 = json.dumps(
+        {
+            "time": 1653810000,
+            "channel": "futures.order_book",
+            "event": "update",
+            "result": [
+                {"p": "100", "s": -5, "contract": sym},
+                {"p": "99", "s": 3, "contract": sym},
+            ],
+        }
+    )
+    msg2 = json.dumps(
+        {
+            "time": 1653810060,
+            "channel": "futures.order_book",
+            "event": "update",
+            "result": [
+                {"p": "100", "s": 0, "contract": sym},
+                {"p": "99", "s": 0, "contract": sym},
+            ],
+        }
+    )
+
+    def row(i, m):
+        return (f"m{i}", "gate", "inverse_future", "l2_event", 1000 + i, m)
+
+    d = tmp_path / "gate_stream"
+    d.mkdir()
+    spark.createDataFrame([row(1, msg1)], RAW_MESSAGES_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(d / "b1"))
+    spark.createDataFrame([row(2, msg2)], RAW_MESSAGES_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(d / "b2"))
+    # one file per micro-batch -> the deletion arrives with cold code but
+    # warm STATE
+    src = (
+        spark.readStream.schema(
+            "msg_id string, exchange string, market_type string,"
+            " msg_type string, received_at bigint, msg string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    q = (
+        gate_futures_l2_stateful(src)
+        .writeStream.format("memory")
+        .queryName("gate_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["timestamp"]: r
+        for r in spark.sql("SELECT * FROM gate_state").collect()
+    }
+    assert got[1653810000000]["n_asks"] == 1
+    assert got[1653810000000]["n_bids"] == 1
+    # the later deletions resolved via persisted state
+    assert got[1653810060000]["n_asks"] == 1
+    assert got[1653810060000]["n_bids"] == 1
+    del_asks = json.loads(got[1653810060000]["asks_json"])
+    assert del_asks[0]["price"] == 100.0
+    assert del_asks[0]["quantity_contract"] == 0.0
+
+    # batch twin over the same two messages agrees
+    batch_raw = spark.createDataFrame(
+        [row(1, msg1), row(2, msg2)], RAW_MESSAGES_SCHEMA
+    )
+    batch = [
+        r.asDict(recursive=True)
+        for r in gate.parse_l2(batch_raw).orderBy("timestamp").collect()
+    ]
+    assert [(len(b["asks"]), len(b["bids"])) for b in batch] == [(1, 1), (1, 1)]
+    assert batch[1]["asks"][0]["price"] == 100.0
