@@ -542,3 +542,69 @@ def route_mixed_exchanges(spark, sf_dir):
     return routed.select(
         "msg_id", "exchange", "routed_msg_type", "routed_symbol", "routed_ts"
     )
+
+
+# ------------------------------------------------------- analytic layer
+
+@query(
+    "candles_recompute_1m",
+    oracle=f"""
+    WITH trades AS (
+        SELECT CASE l_partkey % 4 WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT'
+                    WHEN 2 THEN 'DOGEUSDT' ELSE 'BNBBTC' END AS symbol,
+               {_BASE_TS} + l_orderkey * 997 AS ts,
+               round(l_extendedprice, 2) AS price,
+               round(l_quantity, 1) AS qty,
+               (l_orderkey * 10 + l_linenumber) * 1000000000.0
+                 + round(l_extendedprice, 2) * 100 AS seq
+        FROM lineitem
+    )
+    SELECT symbol,
+           ts - ts % 60000 AS window_start,
+           min(price) AS low,
+           max(price) AS high,
+           sum(qty) AS volume,
+           round(sum(price * qty) * 1000000000) / 1000000000 AS quote_volume,
+           arg_min(price, seq) AS open,
+           arg_max(price, seq) AS close,
+           count(*) AS n_trades
+    FROM trades
+    GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="the engine's analytic layer (SURVEY §2.5): recompute 1-minute "
+    # seq is a strict total order consistent with (ts, linenumber, price),
+    # so arg_min/arg_max on seq == first/last trade of the minute
+    "OHLCV candles from the normalized trade stream with a tumbling window "
+    "groupBy — the recomputation path the reference only passes through "
+    "pre-aggregated.",
+)
+def candles_recompute_1m(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_quantity", 1).alias("qty"),
+        # the synthetic lineitem is TPC-H-ISH: (orderkey, linenumber) is
+        # NOT unique, so the order key folds in the price (x100 keeps it
+        # integer-valued in f64) to make open/close deterministic in both
+        # engines
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 1000000000.0
+            + F.round("l_extendedprice", 2) * 100
+        ).alias("seq"),
+    )
+    win = (F.col("ts") - F.col("ts") % 60000).alias("window_start")
+    out = trades.groupBy("symbol", win).agg(
+        F.min("price").alias("low"),
+        F.max("price").alias("high"),
+        F.sum("qty").alias("volume"),
+        (F.round(F.sum(F.col("price") * F.col("qty")) * 1e9) / 1e9).alias(
+            "quote_volume"
+        ),
+        F.min_by("price", F.col("seq")).alias("open"),
+        F.max_by("price", F.col("seq")).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    return out
