@@ -183,3 +183,68 @@ def crawl_step(
         new.select("url_hash", "canonical")
     )
     return docs, new, new_seen
+
+
+def paginate_next_urls(responses: DataFrame, count: int = 500) -> DataFrame:
+    """Paginated-scan expansion (SURVEY §2.1): the reference walks
+    `instrument?...&start={n}&count=500` until a short page
+    (crypto-msg-parser/src/exchanges/bitmex.rs:504-544). In the engine,
+    pagination is ITERATIVE FRONTIER EXPANSION: each crawl round derives
+    the next-page URL for every response that came back full, appends it
+    to the frontier, and the seen-set naturally terminates the walk.
+
+    responses: (url, host, priority, rate_budget_per_min, n_items) where
+    url carries `start=<n>` — full pages (n_items == count) yield the URL
+    with start advanced by count."""
+    start = F.regexp_extract(F.col("url"), "[?&]start=([0-9]+)", 1).cast("long")
+    next_url = F.regexp_replace(
+        F.col("url"),
+        "([?&])start=[0-9]+",
+        F.concat(F.lit("$1start="), (start + count).cast("string")),
+    )
+    return responses.filter(F.col("n_items") == count).select(
+        next_url.alias("url"),
+        "host",
+        "priority",
+        "rate_budget_per_min",
+    )
+
+
+def crawl_paginated(
+    spark: SparkSession,
+    seeds: DataFrame,
+    fetch_fn,
+    count: int = 500,
+    max_rounds: int = 64,
+):
+    """Iterative frontier expansion to a fixed point: schedule + dedup the
+    frontier, fetch (fetch_fn returns (url, ..., n_items)), append the
+    next-page URLs of full pages, repeat until no new URLs. max_rounds is
+    a safety backstop, not the loop condition — termination comes from
+    short pages + the seen set. Each round is one distributed job; the
+    driver only checks an aggregate count (no row-level collect).
+
+    Each round's result is materialized (localCheckpoint — the in-memory
+    stand-in for the per-round Iceberg snapshot commit a production crawl
+    makes anyway): without it the lineage doubles per round and round k
+    re-executes all k-1 predecessors (measured: 7s, 28s, ~2min, ...)."""
+    frontier = seeds
+    seen = spark.createDataFrame(
+        [], "rank_bucket bigint, url_hash bigint, canonical string"
+    )
+    all_pages = []
+    for _ in range(max_rounds):
+        sched = schedule(frontier)
+        new = dedup_against_seen(sched, seen).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        fetched = fetch_fn(new).localCheckpoint(eager=True)
+        all_pages.append(fetched)
+        seen = seen.unionByName(
+            new.select("rank_bucket", "url_hash", "canonical")
+        )
+        frontier = paginate_next_urls(fetched, count)
+    out = all_pages[0]
+    for p in all_pages[1:]:
+        out = out.unionByName(p)
+    return out, seen

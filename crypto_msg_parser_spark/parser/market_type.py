@@ -268,3 +268,22 @@ def get_market_type(
         )
         .otherwise(UNKNOWN)
     )
+
+
+def normalize_currency(exchange: Column, currency: Column) -> Column:
+    """crypto-pair/src/lib.rs:12-20: per-exchange currency aliasing
+    (bitfinex/bitmex/kraken/kucoin), uppercase elsewhere."""
+    from crypto_msg_parser_spark.parser import bitfinex as _bfx
+    from crypto_msg_parser_spark.parser import kraken as _krk
+    from crypto_msg_parser_spark.parser import kucoin as _kcn
+
+    return (
+        F.when(exchange == "bitfinex", _bfx._norm_currency(currency))
+        .when(
+            exchange == "bitmex",
+            F.when(currency == "XBT", "BTC").otherwise(currency),
+        )
+        .when(exchange == "kraken", _krk._norm_currency(currency))
+        .when(exchange == "kucoin", _kcn._norm_currency(currency))
+        .otherwise(F.upper(currency))
+    )

@@ -166,3 +166,68 @@ def test_crawl_to_parse_pipeline(spark):
         "doc_id", F.get_json_object("body", "$.host").alias("host")
     )
     assert parsed.filter(F.col("host").isNull()).count() == 0
+
+
+def test_paginated_frontier_expansion(spark):
+    """SURVEY §2.1 paginated scan: 1230 synthetic instruments at 500/page
+    -> exactly 3 pages fetched, walk terminated by the short page
+    (mirrors crypto-msg-parser/src/exchanges/bitmex.rs:504-544)."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.frontier import crawl_paginated
+
+    total = 1230
+    seeds = spark.createDataFrame(
+        [
+            (
+                "https://www.bitmex.com/api/v1/instrument?start=0&count=500",
+                "www.bitmex.com",
+                0,
+                600,
+            )
+        ],
+        "url string, host string, priority int, rate_budget_per_min int",
+    )
+
+    def fetch_fn(scheduled):
+        start = F.regexp_extract(
+            F.col("canonical"), "[?&]start=([0-9]+)", 1
+        ).cast("long")
+        return scheduled.select(
+            F.col("canonical").alias("url"),
+            "host",
+            "priority",
+            "rate_budget_per_min",
+            F.least(F.lit(total) - start, F.lit(500)).cast("int").alias("n_items"),
+        )
+
+    pages, seen = crawl_paginated(spark, seeds, fetch_fn, count=500)
+    got = sorted(r["n_items"] for r in pages.collect())
+    assert got == [230, 500, 500]
+    assert seen.count() == 3
+
+
+def test_normalize_currency(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.parser.market_type import normalize_currency
+
+    df = spark.createDataFrame(
+        [
+            ("bitmex", "XBT", "BTC"),
+            ("kraken", "XXBT", "BTC"),
+            ("kraken", "XDG", "DOGE"),
+            ("kucoin", "XBT", "BTC"),
+            ("kucoin", "BCHSV", "BSV"),
+            ("bitfinex", "UST", "USDT"),
+            ("binance", "btc", "BTC"),
+        ],
+        "exchange string, cur string, expected string",
+    )
+    got = df.select(
+        "expected",
+        normalize_currency(F.col("exchange"), F.col("cur")).alias("got"),
+    ).collect()
+    assert all(r["got"] == r["expected"] for r in got), [
+        (r["expected"], r["got"]) for r in got
+    ]
