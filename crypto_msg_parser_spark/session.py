@@ -52,6 +52,12 @@ def get_spark(
             else "/tmp",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # joins whose keys CONTAIN the storage bucket column (seen-set
+        # anti-join on [rank_bucket, url_hash, canonical] over tables
+        # bucketed by rank_bucket) are co-partitioned by construction;
+        # without this the planner re-shuffles one side to the full key
+        # tuple even though the subset partitioning already clusters it
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -231,3 +231,55 @@ def test_normalize_currency(spark):
     assert all(r["got"] == r["expected"] for r in got), [
         (r["expected"], r["got"]) for r in got
     ]
+
+
+def test_bucketed_layout_plans_without_exchanges(spark):
+    """Regression guard for the scale design (BENCH/BASELINE.md): with
+    frontier state bucketed on rank_bucket, the ranking window and the
+    seen-set anti-join must plan with NO Exchange below them — the one
+    stored partitioning is reused by every steady-state stage."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.frontier import dedup_against_seen
+    from crypto_msg_parser_spark.crawl.scheduler import (
+        bucketize,
+        prepare_frontier,
+        schedule,
+    )
+
+    raw = spark.range(10000).select(
+        F.format_string(
+            "https://api.binance.com/api/symbols?id=%d", F.col("id")
+        ).alias("url"),
+        F.lit("api.binance.com").alias("host"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.lit(600).cast("int").alias("rate_budget_per_min"),
+    )
+    prepared = bucketize(prepare_frontier(raw), 8).persist()
+    prepared.count()
+    try:
+        sched = schedule(prepared).select(
+            "rank_bucket", "canonical", "url_hash", "host", "priority",
+            "in_host_rank", "epoch",
+        )
+        seen = prepared.filter(F.col("url_hash") % 3 == 0).select(
+            "rank_bucket", "url_hash", "canonical"
+        )
+        plan = (
+            dedup_against_seen(sched, seen)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the ONLY planner-inserted exchange allowed is the tiny offsets
+        # host-window (hosts x priorities x buckets rows). The ranking
+        # window and BOTH anti-join sides must reuse the stored
+        # rank_bucket partitioning (requireAllClusterKeysForCoPartition
+        # is off in session.py so the subset partitioning co-partitions).
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "ENSURE_REQUIREMENTS" in line:
+                assert "host#" in line and "rank_bucket" not in line, (
+                    f"frontier path re-shuffled: {line}"
+                )
+    finally:
+        prepared.unpersist()
