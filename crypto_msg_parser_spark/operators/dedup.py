@@ -147,12 +147,16 @@ def _lsh_bands(sig_df: DataFrame) -> DataFrame:
     )
 
 
+_SQL_REPS = (
+    "SELECT min(doc_id) AS doc_id, any_value(text) AS text "
+    "FROM documents GROUP BY md5(text)"
+)
 _SQL_SIG = (
     "SELECT doc_id, "
     + ", ".join(
         f"{_sql_minhash(_sql_words('text'), s)} AS mh{s}" for s in range(N_MINHASH)
     )
-    + " FROM documents"
+    + " FROM reps"
 )
 _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
@@ -165,7 +169,8 @@ _SQL_BANDS = " UNION ALL ".join(
 @query(
     "neardup_minhash_lsh",
     oracle=f"""
-    WITH sig AS ({_SQL_SIG}),
+    WITH reps AS ({_SQL_REPS}),
+    sig AS ({_SQL_SIG}),
     bands AS ({_SQL_BANDS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -178,28 +183,57 @@ _SQL_BANDS = " UNION ALL ".join(
              (len(wa.w) + len(wb.w)
               - len(list_filter(wa.w, x -> list_contains(wb.w, x)))) AS jaccard
       FROM cand c
-      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM documents) wa
+      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM reps) wa
         ON wa.doc_id = c.doc_a
-      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM documents) wb
+      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM reps) wb
         ON wb.doc_id = c.doc_b)
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
-    doc="near-dup pairs: MinHash -> LSH band self-join -> exact word-set "
-    "Jaccard verify on candidates only.",
+    doc="near-dup pairs over exact-dedup REPRESENTATIVES (min doc_id per "
+    "content hash): MinHash -> LSH banding -> bucket pair expansion -> "
+    "exact word-set Jaccard verify on candidates only. Exact duplicates "
+    "are the exact-dedup pass's job (dedup_exact) — feeding them to LSH "
+    "creates quadratic buckets of identical docs, which at sf0.1 blew the "
+    "pair count to 6.6M rows for zero information.",
 )
 def neardup_minhash_lsh(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    raw_docs = load_table(spark, sf_dir, "documents")
+    # the representative table feeds three consumers (signatures + both
+    # Jaccard-verify sides) — materialize its groupBy once
+    docs = (
+        raw_docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
     sig = docs.select("doc_id", *minhash_cols(_words(F.col("text"))))
     bands = _lsh_bands(sig)
+    # two measured pathologies at sf0.1 steer this shape:
+    #   (a) a naive band self-join evaluates the md5-heavy signature
+    #       pipeline once PER SIDE (2x the query cost);
+    #   (b) expanding each bucket's pairs inside one array row serializes
+    #       the biggest near-dup family onto one task (skew: 126s vs 55s).
+    # So: materialize the SMALL bucket table once (localCheckpoint — sig
+    # computed exactly once; the checkpoint cost is inside the query's own
+    # wall-clock), then a self-join over the materialized buckets spreads
+    # pair expansion across tasks, with AQE skew-split on top.
+    ids = F.sort_array(F.collect_set("doc_id")).alias("ids")
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(ids)
+        .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=True)
+    )
+    a = buckets.select(
+        "band_idx", "band_hash", F.explode("ids").alias("doc_a")
+    )
+    b = buckets.select(
+        "band_idx", "band_hash", F.explode("ids").alias("doc_b")
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     wsets = docs.select("doc_id", _words(F.col("text")).alias("w"))

@@ -96,9 +96,16 @@ def _spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_binance_spot_trade(spark, sf_dir):
     raw = _spot_trade_msgs(spark, sf_dir)
     parsed = binance.parse_trade(raw)
-    # recover msg_id from the provenance column (json == original msg)
-    back = parsed.join(
-        raw.select("msg_id", F.col("msg").alias("json")), "json"
+    # msg_id is recoverable from the synthesized trade_id
+    # (= orderkey*10 + linenumber) — a pure projection instead of a
+    # join-back on the ~300-byte json provenance string, which at sf0.1
+    # was a 600k x 600k string-keyed shuffle costing ~20s of the bench
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
     )
     return back.select(
         "msg_id",
@@ -422,7 +429,13 @@ def parse_gate_linear_swap_trade(spark, sf_dir):
 
     raw = _gate_swap_trade_msgs(spark, sf_dir)
     parsed = gate.parse_trade(raw)
-    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
     return back.select(
         "msg_id", "symbol", "pair", "timestamp", "side", "price",
         "quantity_base", "quantity_quote", "quantity_contract",
@@ -476,7 +489,13 @@ def parse_kucoin_spot_trade(spark, sf_dir):
 
     raw = _kucoin_spot_trade_msgs(spark, sf_dir)
     parsed = kucoin.parse_trade(raw)
-    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
     return back.select(
         "msg_id", "symbol", "pair", "timestamp", "side",
         "quantity_base", "quantity_quote", "trade_id",
