@@ -18,6 +18,19 @@ from crypto_msg_parser_spark.parser import binance
 from crypto_msg_parser_spark.registry import query
 from crypto_msg_parser_spark.sources.testdata import load_table
 
+
+def _msg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a raw-message source, spread to full core parallelism.
+
+    The sf0.1 lineitem parquet is 1-2 row groups, so a scan inherits 1-2
+    input partitions and the whole parse pipeline runs near-serial
+    (measured 19s instead of ~2s at 32 cores). A real raw-message table is
+    thousands of files; the repartition recreates that input parallelism
+    for the synthesized corpus."""
+    return load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+
 # symbol universe for synthesized spot messages: partkey % 4
 _SPOT_SYMBOLS = ["BTCUSDT", "ETHUSDT", "DOGEUSDT", "BNBBTC"]
 _SPOT_PAIRS = ["BTC/USDT", "ETH/USDT", "DOGE/USDT", "BNB/BTC"]
@@ -52,7 +65,7 @@ def _msg_id():
 
 
 def _spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     msg = F.format_string(
         '{"stream":"%s@aggTrade","data":{"e":"aggTrade","E":%d,"s":"%s",'
@@ -127,7 +140,7 @@ def _swap_symbol():
 
 
 def _swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     msg = F.format_string(
         '{"stream":"%s@aggTrade","data":{"e":"aggTrade","E":%d,"s":"%s",'
@@ -378,7 +391,7 @@ def binance_router(spark, sf_dir):
 # ---------------------------------------------------------------- gate
 
 def _gate_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     signed = F.col("l_quantity").cast("long") * F.when(
         F.col("l_linenumber") % 2 == 0, -1
@@ -445,7 +458,7 @@ def parse_gate_linear_swap_trade(spark, sf_dir):
 # ---------------------------------------------------------------- kucoin
 
 def _kucoin_spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     ns = ts * 1000000 + F.col("l_linenumber") * 137
     msg = F.format_string(
@@ -529,7 +542,7 @@ def parse_kucoin_spot_trade(spark, sf_dir):
 def route_mixed_exchanges(spark, sf_dir):
     from crypto_msg_parser_spark.parser import api
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     fam = F.col("l_orderkey") % 3
     huobi_msg = F.format_string(
