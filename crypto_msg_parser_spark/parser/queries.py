@@ -640,3 +640,149 @@ def candles_recompute_1m(spark, sf_dir):
         F.count(F.lit(1)).alias("n_trades"),
     )
     return out
+
+
+# ---------------------------------------------------------------- okx
+
+def _okx_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    inst = F.when(F.col("l_partkey") % 2 == 0, "BTC-USDT-SWAP").otherwise(
+        "ETH-USDT-SWAP"
+    )
+    msg = F.format_string(
+        '{"arg":{"channel":"trades","instId":"%s"},"data":'
+        '[{"instId":"%s","tradeId":"%d","px":"%.2f","sz":"%d",'
+        '"side":"%s","ts":"%d"}]}',
+        inst,
+        inst,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity").cast("long"),
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+        ts,
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("okx").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_okx_swap_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USDT-SWAP'
+                ELSE 'ETH-USDT-SWAP' END AS symbol,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC/USDT' ELSE 'ETH/USDT' END
+             AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(CAST(l_quantity AS BIGINT)
+                 * (CASE WHEN l_partkey % 2 = 0 THEN 0.01 ELSE 0.1 END)
+                 * 1000000000) / 1000000000 AS quantity_base,
+           round(CAST(l_quantity AS BIGINT)
+                 * (CASE WHEN l_partkey % 2 = 0 THEN 0.01 ELSE 0.1 END)
+                 * round(l_extendedprice, 2) * 1000000000) / 1000000000
+             AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS quantity_contract
+    FROM lineitem
+    """,
+    doc="okx v5 linear-swap trade: data[] fan-out + broadcast contract "
+    "multipliers (BTC 0.01 / ETH 0.1 coin per contract, "
+    "crypto-contract-value okx.rs) + round9 linear quantity triple.",
+)
+def parse_okx_swap_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import okx
+
+    raw = _okx_swap_trade_msgs(spark, sf_dir)
+    parsed = okx.parse_trade(raw)
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "side",
+        "quantity_base", "quantity_quote", "quantity_contract",
+    )
+
+
+# ---------------------------------------------------------------- deribit
+
+def _deribit_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    inst = F.when(F.col("l_partkey") % 2 == 0, "BTC-PERPETUAL").otherwise(
+        "ETH-PERPETUAL"
+    )
+    # deribit amounts are USD notionals in multiples of the 10/1 USD tick
+    amount = F.col("l_quantity").cast("long") * 10
+    msg = F.format_string(
+        '{"jsonrpc":"2.0","method":"subscription","params":{"channel":'
+        '"trades.%s.raw","data":[{"trade_seq":%d,"trade_id":"%d",'
+        '"timestamp":%d,"price":%.2f,"instrument_name":"%s",'
+        '"direction":"%s","amount":%d}]}}',
+        inst,
+        F.col("l_orderkey"),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ts,
+        F.col("l_extendedprice"),
+        inst,
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+        amount,
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("deribit").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_deribit_inverse_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC-PERPETUAL'
+                ELSE 'ETH-PERPETUAL' END AS symbol,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC/USD' ELSE 'ETH/USD' END
+             AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           (CAST(l_quantity AS BIGINT) * 10 *
+            (CASE WHEN l_partkey % 2 = 0 THEN 10.0 ELSE 1.0 END))
+             / round(l_extendedprice, 2) AS quantity_base,
+           CAST(l_quantity AS BIGINT) * 10 *
+            (CASE WHEN l_partkey % 2 = 0 THEN 10.0 ELSE 1.0 END)
+             AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) * 10 AS DOUBLE)
+             AS quantity_contract
+    FROM lineitem
+    """,
+    doc="deribit inverse-swap trade: closed-form contract value (BTC 10 "
+    "USD, others 1 USD — crypto-contract-value deribit.rs) + inverse "
+    "quantity triple over JSON-RPC envelopes.",
+)
+def parse_deribit_inverse_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import deribit
+
+    raw = _deribit_trade_msgs(spark, sf_dir)
+    parsed = deribit.parse_trade(raw)
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "side",
+        "quantity_base", "quantity_quote", "quantity_contract",
+    )
