@@ -63,3 +63,22 @@ def test_dispatch_prunes_unimplemented(spark):
         "exchange", F.lit("poloniex")
     )
     assert api.parse_trade(raw).count() == 0
+
+
+def test_parse_stage_has_no_python_udfs(spark):
+    """BASELINE.json input_hint: vectorized/Catalyst-only parse stage.
+    Every api.parse_* plan must be free of Python evaluation nodes
+    (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas) except the
+    gate futures stateful path, which is the reference's one keyed-state
+    operator (SURVEY §2.9) and is explicitly an applyInPandas."""
+    rows = _mixed_rows("trade")
+    raw = fixtures_df(spark, rows)
+    for fn in (api.parse_trade, api.parse_bbo, api.parse_funding_rate,
+               api.parse_candlestick, api.route):
+        plan = fn(raw)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, (fn.__name__, marker)
+    l2_plan = api.parse_l2(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in l2_plan
+    # the ONLY pandas node allowed anywhere: gate's stateful delta replay
+    assert l2_plan.count("FlatMapGroupsInPandas") <= 1
