@@ -74,10 +74,10 @@ def text_quality_score(spark, sf_dir):
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS n_tokens,
-           sum(list_aggregate(list_transform(string_split(text, ' '),
-               w -> (length(w) + 3) // 4), 'sum')) AS n_subwords_est,
-           sum(length(text)) AS n_chars
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(list_aggregate(list_transform(string_split(text, ' '),
+               w -> (length(w) + 3) // 4), 'sum')) AS BIGINT) AS n_subwords_est,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY source
     """,

@@ -238,6 +238,11 @@ def parse_l2(df: DataFrame) -> DataFrame:
     return finalize(sort_book_sides(out), schemas.ORDERBOOK_SCHEMA)
 
 
+# okx L2TopK rides the same books5 channel; the reference routes
+# parse_l2_topk straight to parse_l2 (okx/mod.rs:98-103)
+parse_l2_topk = parse_l2
+
+
 _FUNDING_ELEM = (
     "struct<instType:string, instId:string, fundingRate:string, "
     "nextFundingRate:string, fundingTime:string>"

@@ -186,7 +186,15 @@ def _swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_binance_inverse_swap_trade(spark, sf_dir):
     raw = _swap_trade_msgs(spark, sf_dir)
     parsed = binance.parse_trade(raw)
-    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    # msg_id recovered by projection from the synthesized trade_id
+    # (= orderkey*10 + linenumber) — no join-back on the json string
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
     return back.select(
         "msg_id", "symbol", "pair", "quantity_base", "quantity_quote",
         "quantity_contract",
@@ -242,17 +250,23 @@ def _fsymbol():
 def parse_binance_funding_rate(spark, sf_dir):
     raw = _funding_msgs(spark, sf_dir)
     parsed = binance.parse_funding_rate(raw)
-    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    # the synthesized E field is BASE_TS + o_orderkey, so msg_id
+    # (= o_orderkey) is a pure projection of the parsed timestamp
+    back = parsed.withColumn(
+        "msg_id", (F.col("timestamp") - F.lit(_BASE_TS)).cast("string")
+    )
     return back.select(
         "msg_id", "symbol", "pair", "timestamp", "funding_rate", "funding_time"
     )
 
 
 def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    li = _msg_source(spark, sf_dir).filter(F.col("l_orderkey") % 7 == 0)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     p = F.col("l_extendedprice")
     q = F.col("l_quantity")
+    # u encodes (orderkey, linenumber) — linenumber < 100 — so msg_id is a
+    # pure projection of the parsed seq_id instead of a json-string join-back
     msg = F.format_string(
         '{"stream":"%s@depth","data":{"e":"depthUpdate","E":%d,"s":"%s",'
         '"U":%d,"u":%d,"pu":%d,'
@@ -262,8 +276,8 @@ def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts,
         _spot_symbol(),
         F.col("l_orderkey") * 100,
-        F.col("l_orderkey") * 100 + 1,
-        F.col("l_orderkey") * 100 - 1,
+        F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        F.col("l_orderkey") * 100 + F.col("l_linenumber") - 1,
         p - 1,
         q,
         p - 2,
@@ -305,9 +319,9 @@ def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM src)
     SELECT l_orderkey || ':' || l_linenumber AS msg_id,
            {_SQL_SPOT_PAIR} AS pair,
-           l_orderkey * 100 + 1 AS seq_id,
-           CASE WHEN l_orderkey * 100 - 1 = -1 THEN NULL
-                ELSE l_orderkey * 100 - 1 END AS prev_seq_id,
+           l_orderkey * 100 + l_linenumber AS seq_id,
+           -- pu is never -1 here (orderkey >= 1), so no NULL arm needed
+           l_orderkey * 100 + l_linenumber - 1 AS prev_seq_id,
            o.side AS side, o.idx AS idx,
            o.price AS price,
            o.qty AS quantity_base,
@@ -320,7 +334,16 @@ def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_binance_l2_levels(spark, sf_dir):
     raw = _l2_msgs(spark, sf_dir)
     parsed = binance.parse_l2(raw)
-    back = parsed.join(raw.select("msg_id", F.col("msg").alias("json")), "json")
+    # seq_id = orderkey*100 + linenumber (linenumber < 100): msg_id is a
+    # projection, not a join-back
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":",
+            F.floor(F.col("seq_id") / 100).cast("string"),
+            (F.col("seq_id") % 100).cast("string"),
+        ),
+    )
     asks = back.select(
         "msg_id",
         "pair",

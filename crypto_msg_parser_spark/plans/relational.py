@@ -511,9 +511,12 @@ def events_tumbling_window(spark, sf_dir):
            min(ts) AS session_start, max(ts) AS session_end
     FROM (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             -- CAST: DuckDB types a bare integer SUM as HUGEINT (int128);
+             -- Spark emits BIGINT and the driver's value hash sees the
+             -- representation, not just the value
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
@@ -554,7 +557,8 @@ def events_sessionize(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

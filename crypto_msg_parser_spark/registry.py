@@ -18,6 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkQueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Runtime-settable SQL confs every query needs regardless of who built the
+# SparkSession. The driver harness (and any embedding application) passes
+# its OWN default-config session; without these, binance's case-significant
+# payload keys (e/E, t/T) are ambiguous and timestamp semantics drift with
+# the host timezone. Both are per-session SQL confs, safe to set at entry.
+_REQUIRED_CONFS = {
+    "spark.sql.caseSensitive": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an arbitrary host SparkSession safe for the engine's queries."""
+    for k, v in _REQUIRED_CONFS.items():
+        spark.conf.set(k, v)
+
 
 @dataclass
 class Query:
@@ -48,7 +64,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: SparkQueryFn) -> SparkQueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, spark_fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco

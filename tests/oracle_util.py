@@ -68,11 +68,42 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class for cross-engine comparison.
+
+    DuckDB's HUGEINT (int128, the type of a bare integer SUM) lands in
+    pandas as object/float — distinct from Spark's int64 — and the driver's
+    value hash sees the representation. Comparing kinds locally catches
+    that class before the driver does. Datetime unit (ns vs us) and
+    int width (32 vs 64) are NOT distinguished — the driver canonicalizes
+    those.
+    """
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def compare(spark_df, con, oracle_sql: str, name: str = "") -> None:
     sp = spark_df.toPandas()
     du = con.execute(oracle_sql).fetchdf()
     assert sorted(sp.columns) == sorted(du.columns), (
         f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    )
+    kind_mismatch = {
+        c: (str(sp[c].dtype), str(du[c].dtype))
+        for c in sp.columns
+        if _dtype_kind(sp[c].dtype) != _dtype_kind(du[c].dtype)
+    }
+    assert not kind_mismatch, (
+        f"{name}: dtype-kind mismatch (spark, duck): {kind_mismatch} — "
+        "likely a DuckDB HUGEINT sum; CAST the oracle aggregate to BIGINT"
     )
     assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duck={len(du)}"
     sp_rows, du_rows = _canon_df(sp), _canon_df(du)
