@@ -736,6 +736,77 @@ def parse_okx_swap_trade(spark, sf_dir):
     )
 
 
+def _okx_v3_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    inst = F.when(F.col("l_partkey") % 2 == 0, "BTC-USDT-SWAP").otherwise(
+        "ETH-USDT-SWAP"
+    )
+    rfc = F.date_format(
+        F.timestamp_millis(ts), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+    msg = F.format_string(
+        '{"table":"swap/trade","data":[{"side":"%s","trade_id":"%d",'
+        '"price":"%.2f","size":"%d","instrument_id":"%s","timestamp":"%s"}]}',
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity").cast("long"),
+        inst,
+        rfc,
+    )
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("okx").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_okx_v3_swap_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC-USDT-SWAP'
+                ELSE 'ETH-USDT-SWAP' END AS symbol,
+           CASE WHEN l_partkey % 2 = 0 THEN 'BTC/USDT' ELSE 'ETH/USDT' END
+             AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(CAST(l_quantity AS BIGINT)
+                 * (CASE WHEN l_partkey % 2 = 0 THEN 0.01 ELSE 0.1 END)
+                 * 1000000000) / 1000000000 AS quantity_base,
+           round(CAST(l_quantity AS BIGINT)
+                 * (CASE WHEN l_partkey % 2 = 0 THEN 0.01 ELSE 0.1 END)
+                 * round(l_extendedprice, 2) * 1000000000) / 1000000000
+             AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS quantity_contract
+    FROM lineitem
+    """,
+    doc="okx legacy v3 linear-swap trade: table-keyed envelope sniffing "
+    "(okx/mod.rs:15-28) + RFC3339-ms timestamp normalization "
+    "(okx_v3.rs:134-184) through the same single-pass superset-schema "
+    "parser as v5; quantity math must agree with parse_okx_swap_trade.",
+)
+def parse_okx_v3_swap_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import okx
+
+    raw = _okx_v3_swap_trade_msgs(spark, sf_dir)
+    parsed = okx.parse_trade(raw)
+    tid = F.col("trade_id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(tid / 10).cast("string"), (tid % 10).cast("string")
+        ),
+    )
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp", "side",
+        "quantity_base", "quantity_quote", "quantity_contract",
+    )
+
+
 # ---------------------------------------------------------------- deribit
 
 def _deribit_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:

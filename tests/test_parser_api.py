@@ -82,3 +82,21 @@ def test_parse_stage_has_no_python_udfs(spark):
     assert "BatchEvalPython" not in l2_plan
     # the ONLY pandas node allowed anywhere: gate's stateful delta replay
     assert l2_plan.count("FlatMapGroupsInPandas") <= 1
+
+
+def test_l2_topk_dispatch_aliases(spark):
+    """The reference routes parse_l2_topk straight to parse_l2 for huobi
+    (huobi/mod.rs:127-132) and okx (okx/mod.rs:98-103); binance has a
+    dedicated depthK path. The api dispatch must produce rows for all
+    three, not silently drop exchanges lacking a parse_l2_topk attr."""
+    rows = _mixed_rows("l2_topk")
+    exchanges = {r["exchange"] for r in rows}
+    assert {"binance", "huobi", "okx"} <= exchanges
+    raw = fixtures_df(spark, rows)
+    out = api.parse_l2_topk(raw)
+    by_ex = {
+        r["exchange"]: r["count"]
+        for r in out.groupBy("exchange").count().collect()
+    }
+    for ex in ("binance", "huobi", "okx"):
+        assert by_ex.get(ex, 0) > 0, f"{ex} dropped by parse_l2_topk dispatch"
