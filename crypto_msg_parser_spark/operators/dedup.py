@@ -58,18 +58,50 @@ def _hasher(salt: int):
     return lambda w: _word_hash(w, salt)
 
 
-def minhash_cols(words_col):
-    """N_MINHASH min-hash values as per-row array expressions (no shuffle)."""
+# xor-permutation constants for the MinHash family: md5 runs ONCE per word
+# (the base 60-bit hash); each of the N_MINHASH permutations is h XOR C_s,
+# a bijection of the hash space costing one integer op instead of a fresh
+# md5 pass. Round-1 profiling put neardup_minhash_lsh at 76% of the whole
+# bench, almost all of it 8x md5 over every distinct word. xor stays inside
+# 60 bits, so both engines agree with no overflow semantics in play
+# (DuckDB BIGINT arithmetic errors on overflow; Java wraps).
+_XOR_SALTS = [
+    0x0,
+    0x243F6A8885A308D,  # pi digits
+    0x13198A2E0370734,
+    0xA4093822299F31D,
+    0x082EFA98EC4E6C8,
+    0x452821E638D0137,
+    0xBE5466CF34E90C6,
+    0xC0AC29B7C97C50D,
+]
+assert len(_XOR_SALTS) == N_MINHASH
+
+
+def minhash_cols(hashes_col):
+    """N_MINHASH min-hash values from a pre-hashed word array (no shuffle,
+    one md5 pass shared by all permutations)."""
+    def _perm(c):
+        return lambda h: h.bitwiseXOR(F.lit(c).cast("long"))
+
     return [
-        F.array_min(F.transform(words_col, _hasher(s))).alias(f"mh{s}")
-        for s in range(N_MINHASH)
+        F.array_min(F.transform(hashes_col, _perm(c))).alias(f"mh{s}")
+        for s, c in enumerate(_XOR_SALTS)
     ]
 
 
-def _sql_minhash(words_expr: str, salt: int) -> str:
+def _sql_word_hashes(words_expr: str) -> str:
     return (
-        f"list_aggregate(list_transform({words_expr}, "
-        f"w -> ('0x' || substr(md5(w || '#{salt}'), 1, 15))::BIGINT), 'min')"
+        f"list_transform({words_expr}, "
+        f"w -> ('0x' || substr(md5(w || '#0'), 1, 15))::BIGINT)"
+    )
+
+
+def _sql_minhash(hashes_expr: str, salt_idx: int) -> str:
+    c = _XOR_SALTS[salt_idx]
+    return (
+        f"list_aggregate(list_transform({hashes_expr}, "
+        f"h -> xor(h, {c})), 'min')"
     )
 
 
@@ -110,33 +142,38 @@ def dedup_exact_groups(spark, sf_dir):
 @query(
     "minhash_signatures",
     oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_sql_word_hashes(_sql_words('text'))} AS wh
+      FROM documents)
     SELECT doc_id,
-           {", ".join(f"{_sql_minhash(_sql_words('text'), s)} AS mh{s}" for s in range(N_MINHASH))}
-    FROM documents
+           {", ".join(f"{_sql_minhash('wh', s)} AS mh{s}" for s in range(N_MINHASH))}
+    FROM hashed
     """,
     doc="per-doc MinHash signature over the distinct-word set, computed as "
-    "pure array expressions (no shuffle, no Python).",
+    "pure array expressions (no shuffle, no Python); one md5 per word, "
+    "xor-permutations for the signature rows.",
 )
 def minhash_signatures(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *minhash_cols(_words(F.col("text"))))
+    hashes = F.transform(_words(F.col("text")), _hasher(0))
+    return docs.select("doc_id", *minhash_cols(hashes))
 
 
 def _lsh_bands(sig_df: DataFrame) -> DataFrame:
-    """Explode a signature table into (doc_id, band_idx, band_hash) rows."""
+    """Explode a signature table into (doc_id, band_idx, band_hash) rows.
+    The band key is the plain joined minhash pair — hashing it again buys
+    nothing (the groupBy key is already uniform) and md5 isn't free."""
     rows_per_band = N_MINHASH // N_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("band_hash"),
             )
             for b in range(N_BANDS)
@@ -151,16 +188,17 @@ _SQL_REPS = (
     "SELECT min(doc_id) AS doc_id, any_value(text) AS text "
     "FROM documents GROUP BY md5(text)"
 )
+_SQL_HASHED = (
+    f"SELECT doc_id, {_sql_word_hashes(_sql_words('text'))} AS wh FROM reps"
+)
 _SQL_SIG = (
-    "SELECT doc_id, "
-    + ", ".join(
-        f"{_sql_minhash(_sql_words('text'), s)} AS mh{s}" for s in range(N_MINHASH)
-    )
-    + " FROM reps"
+    "SELECT doc_id, wh, "
+    + ", ".join(f"{_sql_minhash('wh', s)} AS mh{s}" for s in range(N_MINHASH))
+    + " FROM hashed"
 )
 _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws(',', mh{2 * b}::VARCHAR, mh{2 * b + 1}::VARCHAR)) AS band_hash "
+    f"concat_ws(',', mh{2 * b}::VARCHAR, mh{2 * b + 1}::VARCHAR) AS band_hash "
     f"FROM sig"
     for b in range(N_BANDS)
 )
@@ -170,6 +208,7 @@ _SQL_BANDS = " UNION ALL ".join(
     "neardup_minhash_lsh",
     oracle=f"""
     WITH reps AS ({_SQL_REPS}),
+    hashed AS ({_SQL_HASHED}),
     sig AS ({_SQL_SIG}),
     bands AS ({_SQL_BANDS}),
     cand AS (
@@ -179,44 +218,51 @@ _SQL_BANDS = " UNION ALL ".join(
            AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT c.doc_a, c.doc_b,
-             len(list_filter(wa.w, x -> list_contains(wb.w, x))) /
-             (len(wa.w) + len(wb.w)
-              - len(list_filter(wa.w, x -> list_contains(wb.w, x)))) AS jaccard
+             len(list_filter(wa.wh, x -> list_contains(wb.wh, x))) /
+             (len(wa.wh) + len(wb.wh)
+              - len(list_filter(wa.wh, x -> list_contains(wb.wh, x)))) AS jaccard
       FROM cand c
-      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM reps) wa
-        ON wa.doc_id = c.doc_a
-      JOIN (SELECT doc_id, {_sql_words('text')} AS w FROM reps) wb
-        ON wb.doc_id = c.doc_b)
+      JOIN hashed wa ON wa.doc_id = c.doc_a
+      JOIN hashed wb ON wb.doc_id = c.doc_b)
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     doc="near-dup pairs over exact-dedup REPRESENTATIVES (min doc_id per "
     "content hash): MinHash -> LSH banding -> bucket pair expansion -> "
-    "exact word-set Jaccard verify on candidates only. Exact duplicates "
-    "are the exact-dedup pass's job (dedup_exact) — feeding them to LSH "
-    "creates quadratic buckets of identical docs, which at sf0.1 blew the "
-    "pair count to 6.6M rows for zero information.",
+    "word-set Jaccard verify on candidates only, computed on the hashed "
+    "word sets (60-bit, collision odds ~n^2/2^60 — identical in both "
+    "engines either way). Exact duplicates are the exact-dedup pass's job "
+    "(dedup_exact) — feeding them to LSH creates quadratic buckets of "
+    "identical docs, which at sf0.1 blew the pair count to 6.6M rows for "
+    "zero information.",
 )
 def neardup_minhash_lsh(spark, sf_dir):
     raw_docs = load_table(spark, sf_dir, "documents")
-    # the representative table feeds three consumers (signatures + both
-    # Jaccard-verify sides) — materialize its groupBy once
-    docs = (
+    # ONE md5 pass: representatives' word sets are hashed once and that
+    # array feeds every consumer — all 8 minhash permutations (xor-min) AND
+    # both sides of the Jaccard verify. Round 1 ran 8 separate md5 passes
+    # for the signature plus a string-array intersect for the verify; this
+    # was 76% of the whole bench. localCheckpoint materializes the compact
+    # (doc_id, int-array) table; at 100 TB swap it for a persistent
+    # checkpoint (parquet/Iceberg) so executor loss doesn't recompute.
+    hashed = (
         raw_docs.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
-        .drop("_h")
+        .select(
+            "doc_id",
+            F.transform(_words(F.col("text")), _hasher(0)).alias("wh"),
+        )
         .localCheckpoint(eager=True)
     )
-    sig = docs.select("doc_id", *minhash_cols(_words(F.col("text"))))
+    sig = hashed.select("doc_id", *minhash_cols(F.col("wh")))
     bands = _lsh_bands(sig)
     # two measured pathologies at sf0.1 steer this shape:
-    #   (a) a naive band self-join evaluates the md5-heavy signature
-    #       pipeline once PER SIDE (2x the query cost);
+    #   (a) a naive band self-join evaluates the signature pipeline once
+    #       PER SIDE (2x the query cost);
     #   (b) expanding each bucket's pairs inside one array row serializes
     #       the biggest near-dup family onto one task (skew: 126s vs 55s).
-    # So: materialize the SMALL bucket table once (localCheckpoint — sig
-    # computed exactly once; the checkpoint cost is inside the query's own
-    # wall-clock), then a self-join over the materialized buckets spreads
-    # pair expansion across tasks, with AQE skew-split on top.
+    # So: materialize the SMALL bucket table once, then a self-join over
+    # the materialized buckets spreads pair expansion across tasks, with
+    # AQE skew-split on top.
     ids = F.sort_array(F.collect_set("doc_id")).alias("ids")
     buckets = (
         bands.groupBy("band_idx", "band_hash")
@@ -236,12 +282,17 @@ def neardup_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    wsets = docs.select("doc_id", _words(F.col("text")).alias("w"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
     union = F.size(F.col("wa")) + F.size(F.col("wb")) - inter
     return (
-        cand.join(wsets.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")), "doc_a")
-        .join(wsets.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")), "doc_b")
+        cand.join(
+            hashed.select(F.col("doc_id").alias("doc_a"), F.col("wh").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b"), F.col("wh").alias("wb")),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
