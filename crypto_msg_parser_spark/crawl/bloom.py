@@ -1,11 +1,17 @@
-"""Numpy-backed Bloom filter for the frontier seen-set prefilter.
+"""Numpy-backed Bloom filters for the frontier seen-set prefilter.
 
-Built distributed: each partition folds its hashes into a local bit array
-(vectorized numpy, double hashing g_i = h1 + i*h2 mod m), partial arrays are
-OR-merged on the driver (a Bloom filter is a commutative monoid, so this is
-a treeReduce-shaped aggregation — the same shape Spark's Scala
-stat.bloomFilter uses; PySpark 4 no longer exposes it, hence this).
-Membership is applied executor-side through an Arrow-vectorized pandas UDF.
+ONE FILTER PER STORAGE BUCKET, never a global one: at the 10^10-URL design
+point a single fpp=0.01 filter is a ~12 GB bit array — a driver-side
+scale-killer. Instead each `rank_bucket` (the Iceberg bucket(N, url_hash)
+partition of the seen table) folds its own hashes into a small filter
+executor-side (groupBy(rank_bucket).applyInPandas — vectorized numpy,
+double hashing g_i = h1 + i*h2 mod m), the filters live as rows of a
+(bucket, m, k, bits) DataFrame, and membership is applied partition-locally
+by cogrouping the frontier with the filter table on rank_bucket. No single
+allocation anywhere is larger than one bucket's filter (~total/N), and the
+driver never materializes any bits. On an Iceberg deployment this entire
+layer is the table's write.parquet.bloom-filter-enabled property (SURVEY
+§4); this is the in-process equivalent with the same per-bucket layout.
 """
 
 from __future__ import annotations
@@ -13,6 +19,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 
 class Bloom:
@@ -45,22 +52,46 @@ class Bloom:
         self.bits |= other.bits
         return self
 
+    @classmethod
+    def from_state(cls, m: int, k: int, bits: bytes) -> "Bloom":
+        b = cls.__new__(cls)
+        b.m, b.k = int(m), int(k)
+        b.bits = np.frombuffer(bits, dtype=np.uint8).copy()
+        return b
 
-def build_bloom(seen_df, hash_col: str = "url_hash", fpp: float = 0.01) -> Bloom:
-    """Distributed build: per-partition numpy fold, OR-merge of partials."""
-    n = seen_df.count()
-    m, k = Bloom(max(n, 1000), fpp).m, Bloom(max(n, 1000), fpp).k
 
-    def fold(it):
+BLOOM_TABLE_SCHEMA = "rank_bucket long, n long, m long, k long, bits binary"
+
+
+def build_bloom_buckets(
+    seen_df,
+    bucket_col: str = "rank_bucket",
+    hash_col: str = "url_hash",
+    fpp: float = 0.01,
+):
+    """One Bloom filter per storage bucket, built entirely executor-side.
+
+    Returns a DataFrame (rank_bucket, n, m, k, bits): each task folds one
+    bucket's hashes into a filter sized to THAT bucket's cardinality, so
+    memory per task is ~(total bits / n_buckets) regardless of seen-set
+    size, and nothing is collected to the driver."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
         b = Bloom(max(n, 1000), fpp)
-        assert (b.m, b.k) == (m, k)
-        vals = [row[0] for row in it]
-        if vals:
-            b.add(np.array(vals, dtype=np.int64))
-        yield b.bits
+        b.add(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "rank_bucket": [int(pdf[bucket_col].iloc[0])],
+                "n": [n],
+                "m": [b.m],
+                "k": [b.k],
+                "bits": [b.bits.tobytes()],
+            }
+        )
 
-    partials = seen_df.select(hash_col).rdd.mapPartitions(fold).collect()
-    out = Bloom(max(n, 1000), fpp)
-    for bits in partials:
-        out.bits |= bits
-    return out
+    return (
+        seen_df.select(bucket_col, hash_col)
+        .groupBy(bucket_col)
+        .applyInPandas(fold, BLOOM_TABLE_SCHEMA)
+    )

@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crypto_msg_parser_spark.crawl.scheduler import schedule
 from crypto_msg_parser_spark.schemas import DOCUMENTS_SCHEMA
@@ -65,23 +66,51 @@ def dedup_against_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
 def bloom_prefilter(
     spark: SparkSession, frontier: DataFrame, seen: DataFrame, fpp: float = 0.01
 ):
-    """Scale-path prefilter: build a Bloom filter over the seen-set hashes
-    and drop definite-unseen rows from the anti-join input. Never used for
-    correctness decisions alone (false positives fall through to the exact
-    join)."""
-    from crypto_msg_parser_spark.crawl.bloom import build_bloom
+    """Scale-path prefilter: per-BUCKET Bloom filters over the seen-set
+    hashes drop definite-unseen rows from the anti-join input. Never used
+    for correctness decisions alone (false positives fall through to the
+    exact join).
 
-    n = seen.count()
-    if n == 0:
-        return frontier, frontier.sparkSession.createDataFrame([], frontier.schema)
-    bloom = build_bloom(seen, "url_hash", fpp)
-    b = spark.sparkContext.broadcast(bloom)
+    Partition-local at any scale: filters are built one-per-rank_bucket
+    executor-side (crawl/bloom.py) and applied by COGROUPING the frontier
+    with the filter table on rank_bucket — each task sees one bucket's
+    frontier rows plus that bucket's small filter. Nothing global is ever
+    built, broadcast, or collected; at the 10^10-URL design point a single
+    merged filter would be a ~12 GB driver allocation."""
+    import numpy as np
 
-    @F.pandas_udf("boolean")
-    def might_be_seen(h: pd.Series) -> pd.Series:
-        return pd.Series(b.value.might_contain(h.to_numpy()))
+    from crypto_msg_parser_spark.crawl.bloom import Bloom, build_bloom_buckets
 
-    flagged = frontier.withColumn("maybe_seen", might_be_seen(F.col("url_hash")))
+    if "rank_bucket" not in frontier.columns or "rank_bucket" not in seen.columns:
+        raise ValueError(
+            "bloom_prefilter requires rank_bucket on both sides "
+            "(canonicalize/schedule attach it at frontier ingest)"
+        )
+    blooms = build_bloom_buckets(seen, "rank_bucket", "url_hash", fpp)
+    # fresh StructType: .add() would MUTATE the DataFrame's cached schema
+    out_schema = T.StructType(
+        list(frontier.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def apply_fn(key, fdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fdf) == 0:
+            return pd.DataFrame(columns=[*fdf.columns, "maybe_seen"])
+        out = fdf.copy()
+        if len(bdf) == 0:  # no seen rows in this bucket: all new
+            out["maybe_seen"] = False
+            return out
+        b = Bloom.from_state(bdf["m"].iloc[0], bdf["k"].iloc[0], bdf["bits"].iloc[0])
+        out["maybe_seen"] = b.might_contain(
+            fdf["url_hash"].to_numpy(dtype=np.int64)
+        )
+        return out
+
+    flagged = (
+        frontier.groupBy("rank_bucket")
+        .cogroup(blooms.groupBy("rank_bucket"))
+        .applyInPandas(apply_fn, out_schema)
+    )
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     return definitely_new, needs_check

@@ -298,30 +298,99 @@ def neardup_minhash_lsh(spark, sf_dir):
     )
 
 
-def simhash_col(words_col):
-    """SIMHASH_BITS-bit SimHash as a pure column expression.
+def simhash_col(words_col, bits: int = SIMHASH_BITS):
+    """``bits``-wide SimHash as a pure column expression (default 16 for
+    the DuckDB-checkable demo queries; pass 64 for the scale path — the
+    base hash is 60 bits, so widths up to 60 draw independent bits).
 
     bit_i set iff more than half the document's distinct words have bit_i
-    set in their stable hash (tie -> 0)."""
+    set in their stable hash (tie -> 0). Accumulated with bitwise OR (not
+    +) so bit 62 stays inside signed-long semantics in both engines."""
+    assert bits <= 60, "base stable hash is 60 bits"
     hashes = F.transform(words_col, _hasher(0))
 
     def _bit_set(i: int):
         return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
 
-    bits = [
-        (
-            F.when(
-                2 * F.size(F.filter(hashes, _bit_set(i))) > F.size(hashes),
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            * F.lit(1 << i).cast("long")
-        )
-        for i in range(SIMHASH_BITS)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        term = F.when(
+            2 * F.size(F.filter(hashes, _bit_set(i))) > F.size(hashes),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(term)
     return out
+
+
+def simhash_band_cols(simhash_col_, bits: int, n_bands: int):
+    """(band_idx, band_val) struct array for LSH banding a SimHash.
+
+    Pigeonhole: any pair with hamming <= n_bands-1 must agree on at least
+    one band, so a band equi-join finds all such pairs without an O(n^2)
+    comparison. Bucket cardinality per band is 2^(bits/n_bands) — at the
+    default 64-bit/8-band operating point that is 2^8 buckets per band
+    PER BAND-VALUE-DISTRIBUTION over corpus-sized data; the round-1 16-bit
+    /4-band default had 16 buckets per band and went near-quadratic at
+    scale, which is why width is now a parameter."""
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(simhash_col_, band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def neardup_simhash_pairs(
+    docs: DataFrame,
+    bits: int = 60,
+    n_bands: int = 6,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """General SimHash near-dup operator: (doc_a, doc_b, hamming) pairs
+    with hamming <= max_hamming (default n_bands-1, the largest threshold
+    the banding is exact for). Default 60-bit/6-band — the scale
+    configuration; the 16-bit registry query exists for oracle parity."""
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    assert max_hamming <= n_bands - 1, "banding is only exact to n_bands-1"
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(_words(F.col(text_col)), bits).alias("simhash"),
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(simhash_band_cols(F.col("simhash"), bits, n_bands)).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def _sql_simhash(words_expr: str) -> str:
@@ -364,49 +433,15 @@ def dedup_simhash(spark, sf_dir):
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
     """,
-    doc="SimHash near-dup pairs (hamming <= 3). Spark side joins on 4-bit "
-    "bands (pigeonhole: hamming<=3 over 4 bands forces one equal band) so "
-    "it scales; the oracle is the O(n^2) definition.",
+    doc="SimHash near-dup pairs (hamming <= 3) through the parameterized "
+    "band operator at 16-bit/4-band so DuckDB can oracle it; the scale "
+    "default is 60-bit/6-band (neardup_simhash_pairs). The oracle is the "
+    "O(n^2) definition.",
 )
 def neardup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", simhash_col(_words(F.col("text"))).alias("simhash"))
-    # 4 bands of 4 bits; any pair with hamming<=3 shares at least one band
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), 4 * b)
-                        .bitwiseAND(F.lit(0xF))
-                        .alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+    return neardup_simhash_pairs(
+        docs, bits=SIMHASH_BITS, n_bands=4, max_hamming=3
     )
 
 
@@ -422,19 +457,45 @@ def neardup_simhash(spark, sf_dir):
       FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id)
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
-    doc="word-set Jaccard near-dup within a blocking key (lang) — the "
-    "n-gram Jaccard family with explicit candidate blocking.",
+    doc="word-set Jaccard near-dup within a blocking key — the n-gram "
+    "Jaccard family with explicit candidate blocking. The lang key here "
+    "exists for oracle parity at small SF; the operator contract "
+    "(neardup_jaccard_blocked) requires a high-cardinality key at scale.",
 )
 def neardup_word_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", "lang", _words(F.col("text")).alias("ws"))
+    return neardup_jaccard_blocked(docs, block_col="lang")
+
+
+def neardup_jaccard_blocked(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact word-set Jaccard pairs within a blocking key.
+
+    CONTRACT: work is O(sum over blocks of block_size^2) — ``block_col``
+    must be high-cardinality relative to the corpus (shingle prefix, LSH
+    band hash, host, ...) so the largest block stays task-sized. A
+    constant-cardinality key (e.g. lang, ~3 values) degenerates to
+    all-pairs within each value and does NOT scale; for unblocked corpora
+    use neardup_minhash_lsh, which IS this operator composed over LSH
+    buckets. AQE skew-join splits pathological blocks, but cannot rescue a
+    quadratic blocking choice."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("_blk"),
+        _words(F.col(text_col)).alias("ws"),
+    )
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     return (
         w.alias("a")
         .join(
             w.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a._blk") == F.col("b._blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -442,5 +503,5 @@ def neardup_word_jaccard(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             (inter / union).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     EUROPEAN_OPTION,
     INVERSE,
     SPOT,
@@ -164,7 +165,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
     redundant scans showed up as ~40% of the bench profile."""
     d = F.from_json(F.col("msg"), f"struct<data:{_TRADE_DATA_SCHEMA}>")["data"]
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.e").isin("aggTrade", "trade"))
         .withColumn("pair", normalize_pair(F.col("d.s")))
         .withColumn("price", F.col("d.p").cast("double"))
@@ -228,7 +229,7 @@ def parse_l2(df: DataFrame, topk: bool = False) -> DataFrame:
     parse_l2/parse_l2_topk + the central snapshot sort of lib.rs:148-161)."""
     d = F.from_json(F.get_json_object("msg", "$.data"), _L2_DATA_SCHEMA)
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.s").isNotNull())
         .withColumn("pair", normalize_pair(F.col("d.s")))
     )
@@ -265,7 +266,7 @@ def parse_bbo(df: DataFrame) -> DataFrame:
     received_at since spot bookTicker carries no E)."""
     d = F.from_json(F.get_json_object("msg", "$.data"), _BBO_DATA_SCHEMA)
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.s").isNotNull())
         .withColumn("pair", normalize_pair(F.col("d.s")))
         .withColumn("cv", contract_value(F.col("market_type"), F.col("pair")))
@@ -359,7 +360,7 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
     markets swap volumes via the contract value)."""
     d = F.from_json(F.get_json_object("msg", "$.data"), _KLINE_SCHEMA)
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.k.s").isNotNull())
         .withColumn("pair", normalize_pair(F.col("d.k.s")))
     )
@@ -399,7 +400,7 @@ def parse_l2_snapshot(df: DataFrame, symbol_col: str = "routed_symbol") -> DataF
         " bids:array<array<string>>, asks:array<array<string>>>",
     )
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.lastUpdateId").isNotNull())
         .withColumn(
             "symbol",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     SPOT,
     finalize,
     quantity_triple,
@@ -527,7 +528,7 @@ def _parse_candle_legacy(df: DataFrame) -> DataFrame:
         .withColumn("period", F.expr("substring(get_json_object(msg, '$.table'), 12)"))
         .withColumn("symbol", F.get_json_object("msg", "$.data.instrument_id"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", candle)
+        .transform(parsed_once(candle))
     )
     base = with_contract_value(base)
     ts = F.col("d")[0].cast("long")
@@ -567,7 +568,7 @@ def parse_l2_snapshot(df: DataFrame, symbol_col: str = "routed_symbol") -> DataF
     )
     base = (
         df.filter(F.get_json_object("msg", "$.code") == "00000")
-        .withColumn("d", d)
+        .transform(parsed_once(d))
         .filter(F.col("d.timestamp").isNotNull())
         .withColumn(
             "symbol",

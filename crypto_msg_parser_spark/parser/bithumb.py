@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize
+from crypto_msg_parser_spark.parser.common import finalize, parsed_once
 
 EXCHANGE = "bithumb"
 
@@ -91,7 +91,7 @@ def parse_l2(df: DataFrame) -> DataFrame:
     code = F.get_json_object("msg", "$.code")
     base = (
         df.filter(code.isin("00006", "00007"))
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.data"), _BOOK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.data"), _BOOK)))
         .filter(F.col("d.symbol").isNotNull())
         .withColumn("snapshot", code == "00006")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides
+from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides, parsed_once
 
 EXCHANGE = "bitstamp"
 
@@ -114,7 +114,7 @@ def _parse_book(df: DataFrame) -> DataFrame:
             ch.startswith("diff_order_book_") | ch.startswith("order_book_")
         )
         .withColumn("symbol", _channel_symbol(F.col("msg")))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
         .withColumn("is_diff", ch.startswith("diff_order_book_"))
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize
+from crypto_msg_parser_spark.parser.common import finalize, parsed_once
 
 EXCHANGE = "bitz"
 
@@ -86,7 +86,7 @@ def parse_l2(df: DataFrame) -> DataFrame:
         df.filter(F.get_json_object("msg", "$.action") == "Pushdata.depth")
         .withColumn("symbol", F.get_json_object("msg", "$.params.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.data"), _BOOK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.data"), _BOOK)))
     )
 
     def order(lv):

@@ -28,6 +28,28 @@ INVERSE = (INVERSE_SWAP, INVERSE_FUTURE)
 LINEARISH = (LINEAR_SWAP, LINEAR_FUTURE, MOVE, BVOL)
 
 
+def parsed_once(expr: Column, alias: str = "d"):
+    """``df.transform(parsed_once(expr))``: materialize an expensive parse
+    expression (a from_json envelope) through a Generate node so it is
+    evaluated exactly once per row.
+
+    A deterministic filter over ``withColumn(alias, expr)`` is pushed below
+    the projection by Catalyst with alias substitution, re-evaluating the
+    whole parse chain per reference — JsonToStructs is CodegenFallback, so
+    neither whole-stage codegen nor subexpression elimination dedups it.
+    Predicates that reference a generator's output cannot cross the
+    Generate, so ``explode(array(expr))`` pins ONE evaluation.
+    Measured on the binance trade path at sf0.1/32 cores: 5.1s -> 1.3s.
+    ``array(expr)`` is never empty, so row count and null semantics are
+    unchanged (a null parse yields one row with a null struct).
+    """
+
+    def _apply(df):
+        return df.select("*", F.explode(F.array(expr)).alias(alias))
+
+    return _apply
+
+
 def quantity_triple(
     market_type: Column, price: Column, quantity: Column, contract_value: Column
 ) -> Column:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     finalize,
     quantity_triple,
     sort_book_sides,
@@ -211,7 +212,7 @@ def _parse_l2_core(df: DataFrame) -> DataFrame:
     ndots = F.length(ch) - F.length(F.translate(ch, ".", ""))
     base = (
         df.filter(ch.startswith("book."))
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.params.data"), _BOOK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.params.data"), _BOOK)))
         .withColumn("symbol", F.col("d.instrument_name"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
         .withColumn("cv", contract_value(F.col("pair"), F.col("market_type")))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     finalize,
     quantity_triple,
     sort_book_sides,
@@ -161,7 +162,7 @@ def parse_l2(df: DataFrame) -> DataFrame:
         df.filter(_channel(F.col("msg")) == "orderbook")
         .withColumn("symbol", F.get_json_object("msg", "$.market"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.data"), _BOOK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.data"), _BOOK)))
         .withColumn("snapshot", F.col("d.action") == "partial")
     )
 

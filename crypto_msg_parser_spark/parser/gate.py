@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     INVERSE,
     LINEAR_FUTURE,
     LINEAR_SWAP,
@@ -275,7 +276,7 @@ def _parse_trade_spot_current(df: DataFrame) -> DataFrame:
     d = F.from_json(F.get_json_object("msg", "$.result"), _SPOT_TRADE)
     base = (
         df.filter(_channel(F.col("msg")) == "spot.trades")
-        .withColumn("d", d)
+        .transform(parsed_once(d))
         .filter(F.col("d.currency_pair").isNotNull())
     )
     price = F.col("d.price").cast("double")
@@ -450,7 +451,7 @@ def _parse_l2_spot_current(df: DataFrame) -> DataFrame:
     prev_seq_id = U-1; snapshot iff event=='all'."""
     base = (
         df.filter(_channel(F.col("msg")) == "spot.order_book_update")
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SPOT_UPDATE))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SPOT_UPDATE)))
         .withColumn("symbol", F.col("d.s"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
         .withColumn("snapshot", F.get_json_object("msg", "$.event") == "all")
@@ -477,7 +478,7 @@ def _parse_l2_topk_spot(df: DataFrame) -> DataFrame:
     always snapshot=true; seq_id = lastUpdateId."""
     base = (
         df.filter(_channel(F.col("msg")) == "spot.order_book")
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SPOT_TOPK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SPOT_TOPK)))
         .withColumn("symbol", F.col("d.s"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )
@@ -503,7 +504,7 @@ def _parse_l2_swap_update(df: DataFrame) -> DataFrame:
     {p, s} with contract-value quantity math."""
     base = (
         df.filter(_channel(F.col("msg")) == "futures.order_book_update")
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SWAP_UPDATE))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SWAP_UPDATE)))
         .withColumn("symbol", F.col("d.s"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
         .withColumn("snapshot", F.get_json_object("msg", "$.event") == "all")
@@ -532,7 +533,7 @@ def _parse_futures_snapshot(df: DataFrame) -> DataFrame:
     result.t except LinearFuture (envelope time*1000); msg_type is l2_topk
     for swaps, l2_event for futures."""
     base = (
-        df.withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SWAP_SNAP))
+        df.transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SWAP_SNAP)))
         .withColumn("symbol", F.col("d.contract"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )
@@ -683,13 +684,13 @@ def parse_bbo(df: DataFrame) -> DataFrame:
             (F.col("market_type") == SPOT)
             & (_channel(F.col("msg")) == "spot.book_ticker")
         )
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SPOT_BBO))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SPOT_BBO)))
         .withColumn("cv", F.lit(1.0))
     )
     deriv = df.filter(
         (F.col("market_type") != SPOT)
         & (_channel(F.col("msg")) == "futures.book_ticker")
-    ).withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SWAP_BBO))
+    ).transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SWAP_BBO)))
     deriv = with_contract_value(
         deriv.withColumn("symbol", F.col("d.s")).withColumn(
             "pair", normalize_pair(F.col("symbol"))
@@ -762,7 +763,7 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
             (F.col("market_type") == SPOT)
             & (_channel(F.col("msg")) == "spot.candlesticks")
         )
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.result"), _SPOT_CANDLE))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.result"), _SPOT_CANDLE)))
         .withColumn("n_items", F.lit(1))
     )
     spot_out = spot.select(

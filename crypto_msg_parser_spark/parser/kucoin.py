@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     SPOT,
     finalize,
     quantity_triple,
@@ -403,7 +404,7 @@ def _parse_l2_topk_spot(df: DataFrame) -> DataFrame:
     base = (
         df.filter(_topic(F.col("msg")).startswith("/spotMarket/level2Depth"))
         .withColumn("symbol", F.substring_index(_topic(F.col("msg")), ":", -1))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
     )
 
     def order(lv):
@@ -447,7 +448,7 @@ def _parse_l2_topk_swap(df: DataFrame) -> DataFrame:
         )
         .withColumn("symbol", F.substring_index(_topic(F.col("msg")), ":", -1))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
     )
     base = with_contract_value(base)
 
@@ -534,7 +535,7 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
             & _topic(F.col("msg")).startswith("/market/candles:")
         )
         .withColumn("symbol", F.get_json_object("msg", "$.data.symbol"))
-        .withColumn("d", candles)
+        .transform(parsed_once(candles))
         .withColumn(
             "period",
             F.substring_index(F.substring_index(_topic(F.col("msg")), ":", -1), "_", -1),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     SPOT,
     finalize,
     quantity_triple,
@@ -250,7 +251,7 @@ def _parse_l2_spot(df: DataFrame) -> DataFrame:
     book = F.from_json(F.get_json_object(inner, "$.data"), _SPOT_BOOK)
     base = (
         df.withColumn("symbol", F.get_json_object(inner, "$.symbol"))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
         .filter(F.col("d.asks").isNotNull() | F.col("d.bids").isNotNull())
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )
@@ -288,7 +289,7 @@ def _parse_l2_swap(df: DataFrame) -> DataFrame:
         df.filter(ch.startswith("push.depth"))
         .withColumn("symbol", F.get_json_object("msg", "$.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", F.from_json(F.get_json_object("msg", "$.data"), _SWAP_BOOK))
+        .transform(parsed_once(F.from_json(F.get_json_object("msg", "$.data"), _SWAP_BOOK)))
         .withColumn("is_topk", ch == "push.depth.full")
     )
     base = with_contract_value(base)
@@ -340,7 +341,7 @@ def _parse_l2_topk_spot(df: DataFrame) -> DataFrame:
         df.filter(F.get_json_object("msg", "$.channel") == "push.limit.depth")
         .withColumn("symbol", F.get_json_object("msg", "$.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
     )
 
     def order(lv):
@@ -401,7 +402,7 @@ def _parse_candle_spot(df: DataFrame) -> DataFrame:
         " h:double, l:double, v:double, q:double, tdt:bigint>",
     )
     base = (
-        df.withColumn("d", d)
+        df.transform(parsed_once(d))
         .filter(F.col("d.interval").isNotNull())
         .withColumn("symbol", F.get_json_object(inner, "$.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
@@ -438,7 +439,7 @@ def _parse_candle_swap(df: DataFrame) -> DataFrame:
     )
     base = (
         df.filter(F.get_json_object("msg", "$.channel") == "push.kline")
-        .withColumn("d", d)
+        .transform(parsed_once(d))
         .withColumn("symbol", F.get_json_object("msg", "$.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     INVERSE,
     SPOT,
     finalize,
@@ -400,7 +401,7 @@ def parse_bbo(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.data"), f"array<{_BOOK_ELEM}>")
     base = (
         df.filter(_channel(F.col("msg")) == "bbo-tbt")
-        .withColumn("d", arr.getItem(0))
+        .transform(parsed_once(arr.getItem(0)))
         .filter((F.size("d.asks") > 0) & (F.size("d.bids") > 0))
         .withColumn("symbol", F.get_json_object("msg", "$.arg.instId"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
@@ -452,7 +453,7 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
     base = (
         df.filter(ch.startswith("candle"))
         .withColumn("ch", ch)
-        .withColumn("d", arr.getItem(0))
+        .transform(parsed_once(arr.getItem(0)))
         .withColumn("symbol", F.get_json_object("msg", "$.arg.instId"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )

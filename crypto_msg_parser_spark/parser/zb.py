@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    parsed_once,
     SPOT,
     finalize,
     quantity_triple,
@@ -261,7 +262,7 @@ def _parse_l2_topk_spot(df: DataFrame) -> DataFrame:
         df.filter(_channel(F.col("msg")).endswith("_depth"))
         .withColumn("symbol", F.substring_index(_channel(F.col("msg")), "_", 1))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
     )
 
     def order(lv):
@@ -305,7 +306,7 @@ def _parse_l2_swap(df: DataFrame) -> DataFrame:
         df.filter(ch.endswith(".Depth") | ch.endswith(".DepthWhole"))
         .withColumn("symbol", F.substring_index(ch, ".", 1))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("d", book)
+        .transform(parsed_once(book))
         .withColumn("is_topk", is_topk)
         .withColumn(
             "snapshot",

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides
+from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides, parsed_once
 
 EXCHANGE = "zbg"
 
@@ -370,7 +370,7 @@ def _parse_l2_swap(df: DataFrame) -> DataFrame:
         F.get_json_object("msg", "$[1]"),
         "struct<asks:array<array<string>>, bids:array<array<string>>, time:bigint>",
     )
-    base = base.withColumn("d", book)
+    base = base.transform(parsed_once(book))
     is_inverse = F.col("market_type") == "inverse_swap"
 
     def order(lv):

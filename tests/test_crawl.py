@@ -106,7 +106,23 @@ def test_seed_universe(spark):
 
 def test_bloom_prefilter_partitions_correctly(spark):
     f = schedule(_frontier_df(spark, SF_SMOKE))
-    seen = f.filter(F.col("p_partkey") % 3 == 0).select("url_hash", "canonical")
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select(
+        "rank_bucket", "url_hash", "canonical"
+    )
+    # per-bucket build: one filter row per rank_bucket, sized to that
+    # bucket's cardinality (never a single merged global filter)
+    from crypto_msg_parser_spark.crawl.bloom import build_bloom_buckets
+
+    blooms = build_bloom_buckets(seen).collect()
+    assert len(blooms) > 1
+    per_bucket_n = {
+        r["rank_bucket"]: r["count"]
+        for r in seen.groupBy("rank_bucket").count().collect()
+    }
+    for r in blooms:
+        assert r["n"] == per_bucket_n[r["rank_bucket"]]
+        assert len(r["bits"]) * 8 == r["m"]
+
     definitely_new, needs_check = bloom_prefilter(spark, f, seen)
     n_def, n_chk = definitely_new.count(), needs_check.count()
     # no false negatives: everything actually seen must be in needs_check

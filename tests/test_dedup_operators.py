@@ -1,0 +1,65 @@
+"""Scale-parameterized dedup operators: the 60-bit/6-band SimHash path and
+the blocked-Jaccard contract, checked against brute-force definitions
+in-Spark (DuckDB cannot express 60-bit hamming, so the registry keeps a
+16-bit oracle query and this file covers the scale configuration)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.operators.dedup import (
+    _words,
+    neardup_jaccard_blocked,
+    neardup_simhash_pairs,
+    simhash_col,
+)
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_60bit_banding_matches_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").limit(200)
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in neardup_simhash_pairs(docs, bits=60, n_bands=6).collect()
+    }
+    sh = docs.select(
+        "doc_id", simhash_col(_words(F.col("text")), 60).alias("simhash")
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_width_is_a_real_parameter(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    sh = docs.select(
+        simhash_col(_words(F.col("text")), 16).alias("s16"),
+        simhash_col(_words(F.col("text")), 60).alias("s60"),
+    ).collect()
+    assert all(0 <= r["s16"] < (1 << 16) for r in sh)
+    assert any(r["s60"] >= (1 << 16) for r in sh)  # high bits actually used
+    # low 16 bits agree: widening extends, never changes, existing bits
+    assert all(r["s60"] & 0xFFFF == r["s16"] for r in sh)
+
+
+def test_jaccard_blocked_respects_block_boundaries(spark):
+    docs = load_table(spark, SF, "documents").limit(300)
+    pairs = neardup_jaccard_blocked(docs, block_col="lang", threshold=0.0)
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    for r in pairs.limit(2000).collect():
+        assert langs[r["doc_a"]] == langs[r["doc_b"]]
