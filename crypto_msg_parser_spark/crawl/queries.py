@@ -162,6 +162,61 @@ def politeness_schedule(spark, sf_dir):
     return sched.select("canonical", "host", "url_hash", "in_host_rank", "epoch")
 
 
+# robots.txt bodies the Spark side must parse with the real state machine;
+# the oracle computes the expected outcome closed-form (huobi fully
+# disallowed, okx crawl-delay clamps its budget to 30/min, the Googlebot
+# decoy group must NOT leak into the * rules, kraken has no robots at all
+# and crawls unrestricted)
+_ROBOTS_BODIES = [
+    (
+        "api.binance.com",
+        1000,
+        "User-agent: Googlebot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /internal\n"
+        "Disallow: /api/symbols/private\nCrawl-delay: 0.01\n",
+    ),
+    (
+        "www.okx.com",
+        1000,
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /admin\n",
+    ),
+    ("api.huobi.pro", 1000, "User-agent: *\nDisallow: /api\n"),
+]
+
+
+@query(
+    "robots_gate",
+    oracle=f"""
+    WITH f AS (SELECT {_SQL_HOST} AS host FROM part)
+    SELECT host, count(*) AS n_allowed,
+           CASE host WHEN 'www.okx.com' THEN 30 ELSE 50 END
+             AS effective_budget
+    FROM f
+    WHERE host <> 'api.huobi.pro'
+    GROUP BY host
+    """,
+    doc="robots cache (SURVEY §2.9 crawl-state): codegen'd line-fold "
+    "parse of each host's robots.txt (User-agent:* section state machine) "
+    "-> broadcast-joined disallow-prefix gate + Crawl-delay politeness "
+    "clamp. The oracle is the closed form of the synthesized bodies, so "
+    "the parser must invert the synthesizer exactly.",
+)
+def robots_gate(spark, sf_dir):
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        apply_robots,
+        parse_robots,
+    )
+
+    f = _frontier_df(spark, sf_dir)
+    fetched = spark.createDataFrame(_ROBOTS_BODIES, ROBOTS_FETCH_SCHEMA)
+    out = apply_robots(f, parse_robots(fetched))
+    return out.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_allowed"),
+        F.min("rate_budget_per_min").cast("int").alias("effective_budget"),
+    )
+
+
 @query(
     "host_skew_stats",
     oracle=f"""

@@ -21,6 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
 MEDIA_META_DDL = (
     "media_ref string, media_type string, payload binary, "
     "width int, height int, n_frames int, feature_hash string"
@@ -77,6 +80,73 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
+    )
+
+
+# driver-checkable queries: the driver's documents table has no spans
+# column, so media refs are synthesized deterministically from doc_id and
+# pushed through the REAL decode plumbing (Arrow-batched mapInPandas with
+# the deterministic fake decoder); the DuckDB oracle reproduces the
+# md5-derived metadata byte-for-byte, so the value-hash gate covers the
+# UDF signature, batch shape, and schema — everything but the codec call.
+
+_SQL_MEDIA = (
+    "SELECT 'media/' || doc_id || '.svg' AS media_ref, "
+    "md5('media/' || doc_id || '.svg' || 'media/' || doc_id || '.svg') AS hx "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def _synth_media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    ref = F.concat(F.lit("media/"), F.col("doc_id").cast("string"), F.lit(".svg"))
+    return docs.select(
+        ref.alias("media_ref"),
+        F.lit("image/svg+xml").alias("media_type"),
+        F.encode(ref, "utf-8").alias("payload"),
+    )
+
+
+@query(
+    "media_decode_meta",
+    oracle=f"""
+    WITH h AS ({_SQL_MEDIA})
+    SELECT media_ref,
+           'image/svg+xml' AS media_type,
+           CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS INT) AS height,
+           CAST(1 + ('0x' || substr(hx, 5, 2))::INT % 30 AS INT) AS n_frames,
+           substr(hx, 1, 16) AS feature_hash
+    FROM h
+    """,
+    doc="multimodal decode metadata through the Arrow-batched mapInPandas "
+    "stage (deterministic fake decoder; real codec swaps in behind the "
+    "same schema/batch shape).",
+)
+def media_decode_meta(spark, sf_dir):
+    return decode_media(_synth_media(spark, sf_dir)).drop("payload")
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH h AS ({_SQL_MEDIA}),
+    meta AS (
+      SELECT media_ref,
+             1 + ('0x' || substr(hx, 5, 2))::INT % 30 AS n_frames,
+             substr(hx, 1, 16) AS feature_hash
+      FROM h)
+    SELECT media_ref, feature_hash,
+           CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+    FROM meta
+    """,
+    doc="video frame sampling: explode over sampled frame indices "
+    "(every 10th) of the decoded frame count.",
+)
+def media_frame_sample(spark, sf_dir):
+    meta = decode_media(_synth_media(spark, sf_dir))
+    return frame_sample(meta, every_n=10).withColumn(
+        "frame_idx", F.col("frame_idx").cast("int")
     )
 
 

@@ -478,6 +478,33 @@ def parse_gate_linear_swap_trade(spark, sf_dir):
     )
 
 
+@query(
+    "compact_trade_contract",
+    oracle=f"""
+    SELECT 'gate' AS exchange,
+           'linear_swap' AS market_type,
+           'trade' AS msg_type,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           round(l_extendedprice, 2) AS price,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS quantity,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side
+    FROM lineitem
+    """,
+    doc="compact sink QuantityChoice::Contract projection "
+    "(compact/message.rs:222-241) over the parsed gate swap stream: the "
+    "quantity triple collapses to the chosen field and identity drops to "
+    "the interned symbol, so rows compare as a multiset. The xxhash64 "
+    "symbol hash itself is pytest-covered (DuckDB lacks the hash).",
+)
+def compact_trade_contract(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import gate
+    from crypto_msg_parser_spark.sinks import compact_trade
+
+    raw = _gate_swap_trade_msgs(spark, sf_dir)
+    parsed = gate.parse_trade(raw)
+    return compact_trade(parsed, quantity_choice="contract").drop("symbol")
+
+
 # ---------------------------------------------------------------- kucoin
 
 def _kucoin_spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:

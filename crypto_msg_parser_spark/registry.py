@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "crypto_msg_parser_spark.operators.dedup",
     "crypto_msg_parser_spark.operators.textstats",
     "crypto_msg_parser_spark.operators.similarity",
+    "crypto_msg_parser_spark.operators.multimodal",
     "crypto_msg_parser_spark.operators.asof",
     "crypto_msg_parser_spark.parser.queries",
     "crypto_msg_parser_spark.crawl.queries",

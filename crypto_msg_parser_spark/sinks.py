@@ -139,3 +139,51 @@ def compact_symbol_hash(symbol: Column) -> Column:
     xxhash64 — which is also the shuffle-key hash, so downstream fan-out
     partitions without rehashing."""
     return F.xxhash64(symbol)
+
+
+_QUANTITY_CHOICE = {
+    "base": "quantity_base",
+    "quote": "quantity_quote",
+    "contract": "quantity_contract",
+}
+
+
+def compact_trade(df: DataFrame, quantity_choice: str = "base") -> DataFrame:
+    """Compact TradeMsg projection (compact/message.rs:222-241): interned
+    symbol hash + the ONE quantity field selected by QuantityChoice
+    (Base/Quote/Contract) — the reference's disk-size trick of not storing
+    the redundant quantity triple. quantity_contract is non-null for every
+    non-spot market (parse invariant), matching the reference's unwrap."""
+    q = _QUANTITY_CHOICE[quantity_choice]
+    return df.select(
+        "exchange",
+        "market_type",
+        "msg_type",
+        compact_symbol_hash(F.col("symbol")).alias("symbol"),
+        "timestamp",
+        "price",
+        F.col(q).alias("quantity"),
+        "side",
+    )
+
+
+def compact_orderbook(df: DataFrame, quantity_choice: str = "base") -> DataFrame:
+    """Compact OrderBookMsg projection (compact/message.rs:243-276): each
+    level becomes (price, quantity) with the QuantityChoice field."""
+    q = _QUANTITY_CHOICE[quantity_choice]
+
+    def conv(lv):
+        return F.struct(lv["price"].alias("price"), lv[q].alias("quantity"))
+
+    return df.select(
+        "exchange",
+        "market_type",
+        "msg_type",
+        compact_symbol_hash(F.col("symbol")).alias("symbol"),
+        "timestamp",
+        "snapshot",
+        F.transform("asks", conv).alias("asks"),
+        F.transform("bids", conv).alias("bids"),
+        "seq_id",
+        "prev_seq_id",
+    )

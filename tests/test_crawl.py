@@ -299,3 +299,46 @@ def test_bucketed_layout_plans_without_exchanges(spark):
                 )
     finally:
         prepared.unpersist()
+
+
+def test_robots_parse_and_cache(spark):
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        parse_robots,
+        robots_cache_refresh,
+    )
+
+    fetched = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                100,
+                "User-agent: Googlebot\nDisallow: /\n"
+                "User-agent: *\nDisallow: /x\nCrawl-delay: 5\n"
+                "User-agent: bingbot\nDisallow: /y\n",
+            ),
+            ("b.example", 100, "User-agent: *\nDisallow:\n"),  # empty = allow all
+            ("c.example", 100, None),
+        ],
+        ROBOTS_FETCH_SCHEMA,
+    )
+    rules = {r["host"]: r for r in parse_robots(fetched).collect()}
+    # only the * group applies; the Googlebot/bingbot decoys must not leak
+    assert rules["a.example"]["disallow"] == ["/x"]
+    assert rules["a.example"]["crawl_delay"] == 5.0
+    assert rules["b.example"]["disallow"] == []
+    assert rules["c.example"]["disallow"] == []
+
+    older = spark.createDataFrame(
+        [("a.example", 50, ["/old"], None), ("stale.example", 1, ["/s"], None)],
+        "host string, fetched_at long, disallow array<string>, crawl_delay double",
+    )
+    merged = {
+        r["host"]: r
+        for r in robots_cache_refresh(
+            older, parse_robots(fetched), ttl_ms=60, now_ms=110
+        ).collect()
+    }
+    # newest per host wins; entries older than the TTL fall out
+    assert merged["a.example"]["disallow"] == ["/x"]
+    assert "stale.example" not in merged

@@ -163,3 +163,43 @@ def test_get_market_type_is_spot_disambiguation(spark):
         ).alias("got"),
     ).collect()
     assert all(r["got"] == r["expected"] for r in got), got
+
+
+def test_compact_quantity_choice(spark):
+    from crypto_msg_parser_spark.sinks import compact_orderbook, compact_trade
+    from tests.parser_util import fixtures_df, load_fixtures
+    from crypto_msg_parser_spark.parser import gate
+
+    rows = [
+        r
+        for r in load_fixtures("gate", "trade")
+        if r["variant"] == "gate" and r["market_type"] == "linear_swap"
+    ]
+    parsed = gate.parse_trade(fixtures_df(spark, rows))
+    full = {r["trade_id"]: r.asDict() for r in parsed.collect()}
+    for choice, field in [
+        ("base", "quantity_base"),
+        ("quote", "quantity_quote"),
+        ("contract", "quantity_contract"),
+    ]:
+        got = compact_trade(parsed, choice).collect()
+        assert got, choice
+        for r in got:
+            # symbol interned to a 64-bit hash; quantity is the chosen field
+            assert isinstance(r["symbol"], int)
+            assert "quantity_base" not in r.asDict()
+        chosen = sorted(r["quantity"] for r in got)
+        expect = sorted(v[field] for v in full.values())
+        assert chosen == expect, choice
+
+    books_rows = [
+        r
+        for r in load_fixtures("gate", "l2_event")
+        if r["variant"] == "gate" and r["market_type"] == "linear_swap"
+    ]
+    books = gate.parse_l2(fixtures_df(spark, books_rows))
+    cb = compact_orderbook(books, "contract").collect()
+    assert cb
+    for r in cb:
+        for lv in r["asks"]:
+            assert set(lv.asDict()) == {"price", "quantity"}
