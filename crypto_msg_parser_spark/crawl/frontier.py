@@ -129,10 +129,15 @@ def fetch_stub(scheduled: DataFrame) -> DataFrame:
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                doc_id = f"{r['host']}:{r['epoch']}:{r['in_host_rank']}"
+            # column-tuple iteration, not pdf.iterrows(): iterrows builds a
+            # Series per row (~10x slower); a real fetcher would assemble
+            # response rows the same way around its HTTP loop
+            for host, epoch, rank, canonical in zip(
+                pdf["host"], pdf["epoch"], pdf["in_host_rank"], pdf["canonical"]
+            ):
+                doc_id = f"{host}:{epoch}:{rank}"
                 body = json.dumps(
-                    {"url": r["canonical"], "host": r["host"], "seq": int(r["in_host_rank"])},
+                    {"url": canonical, "host": host, "seq": int(rank)},
                     separators=(",", ":"),
                 )
                 mid = len(body) // 2
@@ -140,7 +145,7 @@ def fetch_stub(scheduled: DataFrame) -> DataFrame:
                     {"kind": "text", "text": body[:mid], "media_ref": None, "offset": 0},
                     {"kind": "text", "text": body[mid:], "media_ref": None, "offset": 1},
                 ]
-                if r["in_host_rank"] % 7 == 0:
+                if rank % 7 == 0:
                     spans.append(
                         {
                             "kind": "media",

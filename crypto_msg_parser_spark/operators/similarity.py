@@ -124,3 +124,93 @@ def ann_ivf_topk(spark, sf_dir):
         .select("query_id", "vec_id", cosine(F.col("qv"), F.col("ev")).alias("cosine"))
     )
     return _topk(scored)
+
+
+# ------------------------------------------------------------- k-means IVF
+
+def assign_cells(df, centroids, vec_col: str = "v", out_col: str = "cell"):
+    """Nearest-centroid assignment as a pure column expression: the (small)
+    centroid model is inlined as literals, squared-L2 per centroid via
+    zip_with/aggregate, argmin via array_min over (dist, cid) structs
+    (lexicographic struct ordering gives a deterministic cid tie-break).
+    One scan, no shuffle, whole-stage codegen."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(arr)["cid"])
+
+
+def kmeans_fit(
+    emb_df, k: int = 8, iters: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Deterministic distributed Lloyd's: init = the k lowest-id vectors;
+    each iteration broadcasts the centroid literals into the assignment
+    expression (one scan) and recomputes means with a posexplode ->
+    groupBy(cell, pos) shuffle of n*dim skinny rows — the standard Spark
+    k-means shape (the per-iteration model is k*dim doubles, driver-tiny
+    at any corpus size). Empty cells keep their previous centroid."""
+    df = emb_df.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    cents = [r["v"] for r in df.orderBy("_id").limit(k).collect()]
+    for _ in range(iters):
+        assigned = assign_cells(df, cents)
+        new = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+            )
+            .select("cell", F.transform("s", lambda t: t["m"]).alias("c"))
+        )
+        got = {r["cell"]: r["c"] for r in new.collect()}
+        cents = [got.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+@query(
+    "ann_ivf_kmeans",
+    oracle=None,  # iterative fit: driver does the rows-only check; exact
+    # parity vs a numpy replica is asserted in tests/test_similarity.py
+    doc="IVF with a REAL k-means coarse quantizer (deterministic "
+    "distributed Lloyd's, k=8 x 3 iters): corpus and queries are assigned "
+    "to learned cells, search scans only the query's cell. Replaces the "
+    "label-column stand-in as the scale path.",
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    df = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    assigned = assign_cells(df, cents)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+        )
+    )
+    return _topk(scored)
