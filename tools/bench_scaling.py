@@ -41,10 +41,20 @@ def run(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def best_of(cores: int, reps: int) -> dict:
+    """Best throughput across reps — the same noise-robust estimator
+    bench.py uses (this sandbox host shows external contention spikes that
+    slow identical runs 1.3-8x; min-time/max-throughput is the standard
+    way to measure the machine rather than the neighbors)."""
+    runs = [run(cores) for _ in range(reps)]
+    return max(runs, key=lambda r: r["frontier_urls_per_s"] + r["parse_msgs_per_s"])
+
+
 def main() -> None:
     n = int(os.environ.get("BENCH_BASE_CORES", "2"))
-    r_n = run(n)
-    r_4n = run(4 * n)
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    r_n = best_of(n, reps)
+    r_4n = best_of(4 * n, reps)
     result = {
         f"local{n}": r_n,
         f"local{4 * n}": r_4n,
