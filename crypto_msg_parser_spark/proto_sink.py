@@ -149,6 +149,33 @@ def decode_trade(buf: bytes) -> dict:
     return out
 
 
+def _decode_order(buf: bytes) -> dict:
+    out = {
+        "price": 0.0, "quantity_base": 0.0, "quantity_quote": 0.0,
+        "quantity_contract": None,
+    }
+    names = {1: "price", 2: "quantity_base", 3: "quantity_quote", 4: "quantity_contract"}
+    for field, v in _decode_fields(buf):
+        if field in names:
+            out[names[field]] = v
+    return out
+
+
+def decode_orderbook(buf: bytes) -> dict:
+    out = {"timestamp": 0, "snapshot": False, "asks": [], "bids": []}
+    for field, v in _decode_fields(buf):
+        if field == 1:
+            ts = dict(_decode_fields(v))
+            out["timestamp"] = ts.get(1, 0) * 1000 + ts.get(2, 0) // 1_000_000
+        elif field == 2:
+            out["snapshot"] = bool(v)
+        elif field == 3:
+            out["asks"].append(_decode_order(v))
+        elif field == 4:
+            out["bids"].append(_decode_order(v))
+    return out
+
+
 # ------------------------------------------------------------- DataFrame API
 
 PROTO_TRADE_DDL = (

@@ -69,3 +69,28 @@ def test_trade_spark_roundtrip(spark):
             abs(b[sym]["quantity_base"] - r["quantity_base"])
             <= abs(r["quantity_base"]) * 1e-6
         )
+
+
+def test_orderbook_roundtrip():
+    from crypto_msg_parser_spark.proto_sink import (
+        decode_orderbook,
+        encode_orderbook,
+    )
+
+    asks = [
+        {"price": 100.5, "quantity_base": 2.0, "quantity_quote": 201.0,
+         "quantity_contract": 4.0},
+        {"price": 101.0, "quantity_base": 0.0, "quantity_quote": 0.0,
+         "quantity_contract": 0.0},  # deletion level: zeros survive
+    ]
+    bids = [
+        {"price": 99.5, "quantity_base": 1.0, "quantity_quote": 99.5,
+         "quantity_contract": None},  # spot: optional qc absent
+    ]
+    buf = encode_orderbook(1500, True, asks, bids)
+    d = decode_orderbook(buf)
+    assert d["timestamp"] == 1500 and d["snapshot"] is True
+    assert [o["price"] for o in d["asks"]] == [100.5, 101.0]
+    assert d["asks"][1]["quantity_contract"] == 0.0  # optional-present zero
+    assert d["bids"][0]["quantity_contract"] is None
+    assert d["bids"][0]["quantity_quote"] == 99.5
