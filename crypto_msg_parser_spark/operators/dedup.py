@@ -467,6 +467,82 @@ def neardup_word_jaccard(spark, sf_dir):
     return neardup_jaccard_blocked(docs, block_col="lang")
 
 
+def _bigrams(words_col):
+    """Distinct word-bigram shingles: zip the word array with itself
+    shifted by one (zip_with pads the shorter side with nulls — filtered)."""
+    shifted = F.slice(
+        words_col, 2, F.greatest(F.size(words_col) - 1, F.lit(0))
+    )
+    joined = F.zip_with(
+        words_col,
+        shifted,
+        lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+    )
+    return F.array_distinct(F.filter(joined, lambda x: x.isNotNull()))
+
+
+def _sql_bigrams(words_expr: str) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len({words_expr}) - 1), "
+        f"i -> {words_expr}[i] || ' ' || {words_expr}[i + 1]))"
+    )
+
+
+@query(
+    "neardup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform({_sql_bigrams("string_split(text, ' ')")},
+                            s -> ('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT)
+               AS hs
+      FROM documents),
+    blocked AS (
+      SELECT doc_id, hs, list_aggregate(hs, 'min') AS blk FROM sh
+      WHERE len(hs) > 0)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.hs, x -> list_contains(b.hs, x))) /
+             (len(a.hs) + len(b.hs)
+              - len(list_filter(a.hs, x -> list_contains(b.hs, x)))) AS jaccard
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram (word-bigram shingle) Jaccard near-dup with a "
+    "HIGH-CARDINALITY blocking key: the minimum shingle hash (a 1-band "
+    "minhash — docs sharing their rarest-hashing shingle collide). "
+    "Deterministic and identical in both engines; recall < 1 by design "
+    "(the full-recall path is neardup_minhash_lsh), block cardinality "
+    "grows with the corpus so no block outgrows a task.",
+)
+def neardup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # shingles over the RAW word sequence (adjacency is the signal;
+    # _words would dedupe and reorder)
+    hs = F.transform(_bigrams(F.split(F.col("text"), " ")), _hasher(0))
+    blocked = docs.select(
+        "doc_id", hs.alias("hs"), F.array_min(hs).alias("blk")
+    ).filter(F.size("hs") > 0)
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
+    return (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def neardup_jaccard_blocked(
     docs: DataFrame,
     block_col: str,

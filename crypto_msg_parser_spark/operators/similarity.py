@@ -126,6 +126,45 @@ def ann_ivf_topk(spark, sf_dir):
     return _topk(scored)
 
 
+EMB_NEARDUP_THRESHOLD = 0.25  # calibrated to the synthetic corpus (same-
+# label cosine p99 ~ 0.30); real text embeddings would use ~0.95
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(a.v, b.v) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {EMB_NEARDUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs within a blocking cell (label — "
+    "at scale the k-means cell from kmeans_fit, same join shape): the "
+    "semantic-dedup member of the dedup family. Work is O(sum of "
+    "cell_size^2); cosine is the sequential-accumulation form both "
+    "engines share bit-for-bit.",
+)
+def neardup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    return (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
+    )
+
+
 # ------------------------------------------------------------- k-means IVF
 
 def assign_cells(df, centroids, vec_col: str = "v", out_col: str = "cell"):

@@ -411,6 +411,137 @@ def binance_router(spark, sf_dir):
     )
 
 
+def _bbo_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _msg_source(spark, sf_dir)
+    p = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    msg = F.format_string(
+        '{"stream":"%s@bookTicker","data":{"u":%d,"s":"%s",'
+        '"b":"%.2f","B":"%.1f","a":"%.2f","A":"%.1f"}}',
+        F.lower(_spot_symbol()),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        _spot_symbol(),
+        p - 1,
+        q,
+        p + 1,
+        q + 1,
+    )
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    return li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        # spot bookTicker has no event time: crawl receive time is the ts
+        ts.alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_binance_bbo",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           {_SQL_SPOT_SYMBOL} AS symbol,
+           {_SQL_SPOT_PAIR} AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           round(l_extendedprice - 1, 2) AS bid_price,
+           round(l_quantity, 1) AS bid_quantity_base,
+           round(round(l_quantity, 1) * round(l_extendedprice - 1, 2)
+                 * 1000000000) / 1000000000 AS bid_quantity_quote,
+           round(l_extendedprice + 1, 2) AS ask_price,
+           round(l_quantity + 1, 1) AS ask_quantity_base,
+           round(round(l_quantity + 1, 1) * round(l_extendedprice + 1, 2)
+                 * 1000000000) / 1000000000 AS ask_quantity_quote,
+           l_orderkey * 10 + l_linenumber AS id
+    FROM lineitem
+    """,
+    doc="binance spot bookTicker -> BboMsg: best-level quantity math per "
+    "side, received_at as the timestamp (spot bookTicker carries no E — "
+    "binance_all.rs parse_bbo).",
+)
+def parse_binance_bbo(spark, sf_dir):
+    raw = _bbo_msgs(spark, sf_dir)
+    parsed = binance.parse_bbo(raw)
+    bid = F.col("id").cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(
+            ":", F.floor(bid / 10).cast("string"), (bid % 10).cast("string")
+        ),
+    )
+    return back.select(
+        "msg_id", "symbol", "pair", "timestamp",
+        "bid_price", "bid_quantity_base", "bid_quantity_quote",
+        "ask_price", "ask_quantity_base", "ask_quantity_quote", "id",
+    )
+
+
+def _kline_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.lit(_BASE_TS) + F.col("o_orderkey")
+    t0 = F.lit(_BASE_TS) + F.col("o_orderkey") * 60000  # minute-aligned
+    p = F.col("o_totalprice")
+    msg = F.format_string(
+        '{"stream":"%s@kline_1m","data":{"e":"kline","E":%d,"s":"%s",'
+        '"k":{"t":%d,"T":%d,"s":"%s","i":"1m","o":"%.2f","c":"%.2f",'
+        '"h":"%.2f","l":"%.2f","v":"%.1f","q":"%.2f"}}}',
+        F.lower(_fsymbol()),
+        ts,
+        _fsymbol(),
+        t0,
+        t0 + 59999,
+        _fsymbol(),
+        p,
+        p + 1,
+        p + 2,
+        p - 1,
+        (F.col("o_orderkey") % 100 + 1).cast("double"),
+        p * 2,
+    )
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("msg_id"),
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+
+
+@query(
+    "parse_binance_candlestick",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS msg_id,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'BTCUSD_PERP' ELSE 'ETHUSD_PERP' END
+             AS symbol,
+           {_BASE_TS} + o_orderkey AS timestamp,
+           ({_BASE_TS} + o_orderkey * 60000) // 1000 AS begin_time,
+           round(o_totalprice, 2) AS open,
+           round(o_totalprice + 2, 2) AS high,
+           round(o_totalprice - 1, 2) AS low,
+           round(o_totalprice + 1, 2) AS close,
+           CAST(o_orderkey % 100 + 1 AS DOUBLE) AS volume,
+           '1m' AS period,
+           round(o_totalprice * 2, 2) AS quote_volume
+    FROM orders
+    """,
+    doc="binance kline -> CandlestickMsg: nested k-struct extraction, "
+    "begin_time floored to SECONDS (lib.rs:200), spot volume semantics "
+    "(v = base, q = quote — binance_all.rs parse_candlestick).",
+)
+def parse_binance_candlestick(spark, sf_dir):
+    raw = _kline_msgs(spark, sf_dir)
+    parsed = binance.parse_candlestick(raw)
+    # begin_time = (BASE_TS + orderkey*60000)/1000: msg_id by projection
+    back = parsed.withColumn(
+        "msg_id",
+        ((F.col("begin_time") - _BASE_TS // 1000) / 60).cast("long").cast("string"),
+    )
+    return back.select(
+        "msg_id", "symbol", "timestamp", "begin_time",
+        "open", "high", "low", "close", "volume", "period", "quote_volume",
+    )
+
+
 # ---------------------------------------------------------------- gate
 
 def _gate_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
