@@ -1,0 +1,225 @@
+"""Per-bucket cuckoo filters: the DELETABLE layer of the URL-seen set.
+
+north_rule: "bloom/cuckoo URL-seen". The Bloom layer (crawl/bloom.py)
+answers "definitely new?" for the hot path, but cannot forget — and a real
+crawler retires URLs (recrawl schedules, TTL eviction, robots changes).
+The cuckoo filter (Fan et al., partial-key cuckoo hashing) stores 12-bit
+fingerprints in 4-slot buckets with two candidate buckets per key
+(i2 = i1 XOR H(fp)), so membership AND deletion are O(1) without the full
+key set.
+
+Same scale layout as the Bloom layer: one filter per `rank_bucket`
+storage partition, built executor-side with groupBy.applyInPandas, carried
+as rows of a (rank_bucket, m, table bytes, overflow) DataFrame, applied
+and updated partition-locally by cogrouping on rank_bucket. The driver
+never materializes any table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+FP_BITS = 12
+FP_MASK = (1 << FP_BITS) - 1
+SLOTS = 4
+MAX_KICKS = 500
+
+
+class Cuckoo:
+    def __init__(self, n_items: int):
+        m = 1
+        while m * SLOTS < n_items * 1.10 + SLOTS:
+            m *= 2
+        self.m = m
+        self.table = np.zeros((m, SLOTS), dtype=np.uint16)
+        self.overflow: set[int] = set()  # raw hashes that lost the kick loop
+
+    # fingerprint: 12 bits drawn from the hash top, never 0 (0 = empty slot)
+    @staticmethod
+    def _fp(h: np.ndarray) -> np.ndarray:
+        fp = (h.astype(np.uint64) >> np.uint64(45)) & np.uint64(FP_MASK)
+        return np.where(fp == 0, np.uint64(1), fp).astype(np.uint16)
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(self.m)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: the alternate bucket is derivable from
+        # (bucket, fp) alone — H(fp) via a odd-constant multiply
+        hfp = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(
+            self.m - 1
+        )
+        return (i1.astype(np.uint64) ^ hfp).astype(np.int64)
+
+    def insert(self, hashes: np.ndarray) -> None:
+        h = np.asarray(hashes, dtype=np.int64)
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        rng_state = 0x9E3779B9
+        for fp, i1, i2, raw in zip(fps, i1s, i2s, h):
+            if self._in_bucket(i1, fp) or self._in_bucket(i2, fp):
+                continue  # already present (dedup semantics)
+            if self._try_put(i1, fp) or self._try_put(i2, fp):
+                continue
+            cur, fpv = int(i1), int(fp)
+            placed = False
+            for kick in range(MAX_KICKS):
+                # deterministic victim slot
+                rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+                slot = rng_state % SLOTS
+                fpv, self.table[cur, slot] = int(self.table[cur, slot]), fpv
+                cur = int(
+                    self._i2(np.array([cur]), np.array([fpv], dtype=np.uint16))[0]
+                )
+                if self._try_put(cur, fpv):
+                    placed = True
+                    break
+            if not placed:
+                self.overflow.add(int(raw))
+
+    def _in_bucket(self, i, fp) -> bool:
+        return bool((self.table[int(i)] == fp).any())
+
+    def _try_put(self, i, fp) -> bool:
+        row = self.table[int(i)]
+        empty = np.nonzero(row == 0)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        hit1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        hit2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        ovf = np.fromiter((int(x) in self.overflow for x in h), dtype=bool, count=len(h))
+        return hit1 | hit2 | ovf
+
+    def delete(self, hashes: np.ndarray) -> int:
+        """Remove one stored fingerprint per hash (cuckoo's edge over
+        Bloom). Returns how many were actually removed."""
+        h = np.asarray(hashes, dtype=np.int64)
+        removed = 0
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        for fp, i1, i2, raw in zip(fps, i1s, i2s, h):
+            if int(raw) in self.overflow:
+                self.overflow.discard(int(raw))
+                removed += 1
+                continue
+            for i in (int(i1), int(i2)):
+                row = self.table[i]
+                hit = np.nonzero(row == fp)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+    def to_state(self) -> tuple[int, bytes, list[int]]:
+        return self.m, self.table.tobytes(), sorted(self.overflow)
+
+    @classmethod
+    def from_state(cls, m: int, table: bytes, overflow) -> "Cuckoo":
+        c = cls.__new__(cls)
+        c.m = int(m)
+        c.table = np.frombuffer(table, dtype=np.uint16).reshape(c.m, SLOTS).copy()
+        c.overflow = set(int(x) for x in (overflow or []))
+        return c
+
+
+CUCKOO_TABLE_SCHEMA = (
+    "rank_bucket long, n long, m long, table binary, overflow array<long>"
+)
+
+
+def build_cuckoo_buckets(
+    seen_df, bucket_col: str = "rank_bucket", hash_col: str = "url_hash"
+):
+    """One cuckoo filter per storage bucket, built executor-side — the
+    deletable twin of bloom.build_bloom_buckets."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = Cuckoo(max(len(pdf), 64))
+        c.insert(pdf[hash_col].to_numpy(dtype=np.int64))
+        m, table, ovf = c.to_state()
+        return pd.DataFrame(
+            {
+                "rank_bucket": [int(pdf[bucket_col].iloc[0])],
+                "n": [len(pdf)],
+                "m": [m],
+                "table": [table],
+                "overflow": [ovf],
+            }
+        )
+
+    return (
+        seen_df.select(bucket_col, hash_col)
+        .groupBy(bucket_col)
+        .applyInPandas(fold, CUCKOO_TABLE_SCHEMA)
+    )
+
+
+def cuckoo_update_buckets(
+    filters_df, removals_df, additions_df=None, hash_col: str = "url_hash"
+):
+    """Partition-local seen-set maintenance: delete retired URLs (and
+    optionally insert new ones) per bucket — the operation the Bloom layer
+    cannot do. Cogroups the filter table with the change sets; returns the
+    updated filter table."""
+    spark = filters_df.sparkSession
+    null_long = F.lit(None).cast("long")
+    rem = removals_df.select(
+        "rank_bucket",
+        F.col(hash_col).alias("_rm"),
+        null_long.alias("_add"),
+    )
+    add = (
+        additions_df.select(
+            "rank_bucket",
+            null_long.alias("_rm"),
+            F.col(hash_col).alias("_add"),
+        )
+        if additions_df is not None
+        else spark.createDataFrame([], "rank_bucket long, _rm long, _add long")
+    )
+    changes = rem.unionByName(add)
+
+    def apply_fn(key, fdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fdf) == 0:
+            # additions into a bucket with no filter yet: build fresh
+            adds = cdf["_add"].dropna().to_numpy(dtype=np.int64)
+            c = Cuckoo(max(len(adds), 64))
+            c.insert(adds)
+            m, table, ovf = c.to_state()
+            return pd.DataFrame(
+                {"rank_bucket": [int(key[0])], "n": [len(adds)], "m": [m],
+                 "table": [table], "overflow": [ovf]}
+            )
+        c = Cuckoo.from_state(
+            fdf["m"].iloc[0], fdf["table"].iloc[0], fdf["overflow"].iloc[0]
+        )
+        rm = cdf["_rm"].dropna().to_numpy(dtype=np.int64)
+        ad = cdf["_add"].dropna().to_numpy(dtype=np.int64)
+        n = int(fdf["n"].iloc[0]) - c.delete(rm)
+        if len(ad):
+            c.insert(ad)
+            n += len(ad)
+        m, table, ovf = c.to_state()
+        return pd.DataFrame(
+            {"rank_bucket": [int(key[0])], "n": [n], "m": [m],
+             "table": [table], "overflow": [ovf]}
+        )
+
+    return (
+        filters_df.groupBy("rank_bucket")
+        .cogroup(changes.groupBy("rank_bucket"))
+        .applyInPandas(apply_fn, CUCKOO_TABLE_SCHEMA)
+    )

@@ -116,6 +116,51 @@ def bloom_prefilter(
     return definitely_new, needs_check
 
 
+def cuckoo_prefilter(
+    spark: SparkSession, frontier: DataFrame, seen: DataFrame
+):
+    """Deletable twin of bloom_prefilter: per-bucket cuckoo filters
+    (crawl/cuckoo.py) applied by cogrouping on rank_bucket. Same contract:
+    no false negatives, false positives fall through to the exact join;
+    unlike Bloom, the filter table supports retiring URLs in place
+    (cuckoo_update_buckets) for recrawl/TTL eviction."""
+    import numpy as np
+
+    from crypto_msg_parser_spark.crawl.cuckoo import Cuckoo, build_cuckoo_buckets
+
+    if "rank_bucket" not in frontier.columns or "rank_bucket" not in seen.columns:
+        raise ValueError("cuckoo_prefilter requires rank_bucket on both sides")
+    filters = build_cuckoo_buckets(seen, "rank_bucket", "url_hash")
+    out_schema = T.StructType(
+        list(frontier.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def apply_fn(key, fdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fdf) == 0:
+            return pd.DataFrame(columns=[*fdf.columns, "maybe_seen"])
+        out = fdf.copy()
+        if len(cdf) == 0:
+            out["maybe_seen"] = False
+            return out
+        c = Cuckoo.from_state(
+            cdf["m"].iloc[0], cdf["table"].iloc[0], cdf["overflow"].iloc[0]
+        )
+        out["maybe_seen"] = c.might_contain(
+            fdf["url_hash"].to_numpy(dtype=np.int64)
+        )
+        return out
+
+    flagged = (
+        frontier.groupBy("rank_bucket")
+        .cogroup(filters.groupBy("rank_bucket"))
+        .applyInPandas(apply_fn, out_schema)
+    )
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new, needs_check
+
+
 def fetch_stub(scheduled: DataFrame) -> DataFrame:
     """Deterministic stand-in for the executor-side HTTP fetch stage.
 

@@ -162,6 +162,40 @@ def politeness_schedule(spark, sf_dir):
     return sched.select("canonical", "host", "url_hash", "in_host_rank", "epoch")
 
 
+@query(
+    "cuckoo_frontier_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS canonical, {_SQL_HOST} AS host, p_partkey
+      FROM part),
+    seen AS (SELECT canonical FROM f WHERE p_partkey % 3 = 0)
+    SELECT host, count(*) AS n_new
+    FROM f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical = f.canonical)
+    GROUP BY host
+    """,
+    doc="seen-set dedup through the per-bucket CUCKOO prefilter "
+    "(deletable fingerprints) + exact anti-join backstop: probabilistic "
+    "false positives fall through to the exact layer, so the outcome is "
+    "deterministic and must equal the pure-SQL dedup. Exercises the same "
+    "cogrouped partition-local layout as the Bloom layer.",
+)
+def cuckoo_frontier_dedup(spark, sf_dir):
+    from crypto_msg_parser_spark.crawl.frontier import (
+        cuckoo_prefilter,
+        dedup_against_seen,
+    )
+    from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier
+
+    f = prepare_frontier(_frontier_df(spark, sf_dir))
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select(
+        "rank_bucket", "url_hash", "canonical"
+    )
+    definitely_new, needs_check = cuckoo_prefilter(spark, f, seen)
+    new = definitely_new.unionByName(dedup_against_seen(needs_check, seen))
+    return new.groupBy("host").agg(F.count(F.lit(1)).alias("n_new"))
+
+
 # robots.txt bodies the Spark side must parse with the real state machine;
 # the oracle computes the expected outcome closed-form (huobi fully
 # disallowed, okx crawl-delay clamps its budget to 30/min, the Googlebot

@@ -342,3 +342,63 @@ def test_robots_parse_and_cache(spark):
     # newest per host wins; entries older than the TTL fall out
     assert merged["a.example"]["disallow"] == ["/x"]
     assert "stale.example" not in merged
+
+
+def test_robots_then_schedule_matches_simulator(spark):
+    """north_rule end-to-end with robots in the loop: the robots gate
+    (disallow filter + Crawl-delay budget clamp) composed with the
+    distributed scheduler reproduces the single-threaded simulator fed the
+    same clamped frontier."""
+    from crypto_msg_parser_spark.crawl.queries import _ROBOTS_BODIES
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        apply_robots,
+        parse_robots,
+    )
+
+    f = _frontier_df(spark, SF_SMOKE)
+    fetched = spark.createDataFrame(_ROBOTS_BODIES, ROBOTS_FETCH_SCHEMA)
+    gated = apply_robots(f, parse_robots(fetched))
+    sim_rows = [
+        {
+            "url": r["url"],
+            "host": r["host"],
+            "priority": r["priority"],
+            "rate_budget_per_min": r["rate_budget_per_min"],
+        }
+        for r in gated.collect()
+    ]
+    sim = oracle_sim.simulate(sim_rows)
+    got = visit_sequence(gated).select(
+        "epoch", "host", "in_host_rank", "canonical"
+    ).collect()
+    got_seq = [(r["epoch"], r["host"], r["in_host_rank"], r["canonical"]) for r in got]
+    sim_seq = sorted(
+        (r["epoch"], r["host"], r["in_host_rank"], r["canonical"]) for r in sim
+    )
+    assert got_seq == sim_seq
+    hosts = {r[1] for r in got_seq}
+    assert "api.huobi.pro" not in hosts  # fully disallowed
+    # okx budget clamped by Crawl-delay: 2s -> 30/min (epochs stretch)
+    okx_epochs = max(r[0] for r in got_seq if r[1] == "www.okx.com")
+    n_okx = sum(1 for r in got_seq if r[1] == "www.okx.com")
+    assert okx_epochs == (n_okx - 1) // 30
+
+
+def test_mega_host_splits_across_rank_buckets(spark):
+    """Skew defense (SURVEY §7.3 item 5): the dominant host's ranking work
+    must spread over many rank_buckets — the window partitions on
+    (host, priority, rank_bucket), so no single task serializes binance."""
+    sched = schedule(_frontier_df(spark, SF_SMOKE))
+    per_host = (
+        sched.groupBy("host")
+        .agg(
+            F.countDistinct("rank_bucket").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_host = {r["host"]: r for r in per_host}
+    big = by_host["api.binance.com"]
+    assert big["n"] == max(r["n"] for r in per_host)  # it IS the mega host
+    assert big["n_buckets"] >= 8  # and its window work is split
