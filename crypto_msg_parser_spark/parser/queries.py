@@ -696,6 +696,595 @@ def parse_kucoin_spot_trade(spark, sf_dir):
     )
 
 
+# ------------------------------------------- wider exchange coverage
+# (one driver-checked trade query per additional dispatch arm; fixture
+# replay in tests/ covers the full matrix, these put the quantity math
+# and envelope handling under the driver's value-hash gate too)
+
+
+def _recover_msg_id(df, tid=None):
+    """msg_id from a synthesized trade_id = orderkey*10 + linenumber."""
+    t = (tid if tid is not None else F.col("trade_id")).cast("long")
+    return df.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(t / 10).cast("string"), (t % 10).cast("string")),
+    )
+
+
+_TRADE_OUT = [
+    "msg_id", "symbol", "pair", "timestamp", "side", "price",
+    "quantity_base", "quantity_quote",
+]
+
+
+@query(
+    "parse_huobi_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'btcusdt' AS symbol, 'BTC/USDT' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(l_extendedprice, 2) * round(l_quantity, 1) AS quantity_quote
+    FROM lineitem
+    """,
+    doc="huobi spot trade.detail: symbol from the channel path, plain "
+    "price*amount quote (huobi_spot.rs:81-114 — no round9), tradeId ids.",
+)
+def parse_huobi_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import huobi
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"ch":"market.btcusdt.trade.detail","ts":%d,"tick":{"id":1,"ts":%d,'
+        '"data":[{"id":%d,"ts":%d,"tradeId":%d,"amount":%.1f,"price":%.2f,'
+        '"direction":"%s"}]}}',
+        ts, ts,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ts,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("huobi").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+    return _recover_msg_id(huobi.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bybit_inverse_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'BTCUSD' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           CAST(CAST(l_quantity AS BIGINT) * 10 AS DOUBLE)
+             / round(l_extendedprice, 2) AS quantity_base,
+           CAST(CAST(l_quantity AS BIGINT) * 10 AS DOUBLE) AS quantity_quote
+    FROM lineitem
+    """,
+    doc="bybit inverse-swap trade: 1-USD contracts, qb = size/price, "
+    "qq = size (bybit.rs:222-305), Buy/Sell side capitalization.",
+)
+def parse_bybit_inverse_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bybit
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"topic":"trade.BTCUSD","data":[{"trade_time_ms":%d,'
+        '"timestamp":"x","symbol":"BTCUSD","side":"%s","size":%d,'
+        '"price":%.2f,"trade_id":"%d"}]}',
+        ts,
+        F.when(F.col("l_linenumber") % 2 == 0, "Sell").otherwise("Buy"),
+        F.col("l_quantity").cast("long") * 10,
+        F.col("l_extendedprice"),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("bybit").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+    return _recover_msg_id(bybit.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+_SEC_BASE = _BASE_TS // 1000
+
+
+@query(
+    "parse_kraken_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'XBT/USD' AS symbol, 'BTC/USD' AS pair,
+           ({_SEC_BASE} + l_orderkey * 10 + l_linenumber) * 1000 AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(l_extendedprice, 2) * round(l_quantity, 1) AS quantity_quote
+    FROM lineitem
+    """,
+    doc="kraken spot trade: positional array frames, XBT->BTC pair "
+    "normalization, float-second timestamps, trade_id = timestamp "
+    "(kraken_spot.rs:198-240).",
+)
+def parse_kraken_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import kraken
+
+    li = _msg_source(spark, sf_dir)
+    sec = F.lit(_SEC_BASE) + F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    msg = F.format_string(
+        '[321,[["%.2f","%.1f","%d.000000","%s","m",""]],"trade","XBT/USD"]',
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        sec,
+        F.when(F.col("l_linenumber") % 2 == 0, "s").otherwise("b"),
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("kraken").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+    parsed = kraken.parse_trade(raw)
+    k = (F.col("timestamp") / 1000 - _SEC_BASE).cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    )
+    return back.select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bitfinex_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           'tBTCUSD' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(round(l_quantity, 1) * round(l_extendedprice, 2)
+                 * 1000000000) / 1000000000 AS quantity_quote
+    FROM lineitem
+    """,
+    doc="bitfinex spot te frame: side from the sign of the amount, "
+    "quantity = |amount|, round9 quote (bitfinex.rs:78-141).",
+)
+def parse_bitfinex_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bitfinex
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    signed = F.when(F.col("l_linenumber") % 2 == 0, "-").otherwise("")
+    msg = F.format_string(
+        '[{"symbol":"tBTCUSD","channel":"trades"},"te",[%d,%d,%s%.1f,%.2f]]',
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ts,
+        signed,
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("bitfinex").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+    return _recover_msg_id(bitfinex.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bitget_spot_trade",
+    oracle=f"""
+    SELECT l_orderkey || ':' || l_linenumber AS msg_id,
+           -- mix spot instIds get the _SPBL product suffix (bitget_mix.rs)
+           'BTCUSDT_SPBL' AS symbol, 'BTC/USDT' AS pair,
+           {_BASE_TS} + l_orderkey * 10 + l_linenumber AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(l_quantity, 1) * round(l_extendedprice, 2) AS quantity_quote
+    FROM lineitem
+    """,
+    doc="bitget current (mix) spot trade: positional [ts, price, size, "
+    "side] rows, trade_id = timestamp (bitget_mix.rs:128-170).",
+)
+def parse_bitget_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bitget
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    msg = F.format_string(
+        '{"action":"update","arg":{"instType":"sp","channel":"trade",'
+        '"instId":"BTCUSDT"},"data":[["%d","%.2f","%.1f","%s"]]}',
+        ts,
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.when(F.col("l_linenumber") % 2 == 0, "sell").otherwise("buy"),
+    )
+    raw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit("bitget").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        F.lit(None).cast("long").alias("received_at"),
+        msg.alias("msg"),
+    )
+    parsed = bitget.parse_trade(raw)
+    k = (F.col("timestamp") - _BASE_TS).cast("long")
+    back = parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    )
+    return back.select(*_TRADE_OUT)
+
+
+def _rfc3339(ts_col):
+    return F.date_format(
+        F.timestamp_millis(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+
+
+def _raw5(exchange, market_type, msg):
+    def build(li):
+        return li.select(
+            _msg_id().alias("msg_id"),
+            F.lit(exchange).alias("exchange"),
+            F.lit(market_type).alias("market_type"),
+            F.lit(None).cast("long").alias("received_at"),
+            msg.alias("msg"),
+        )
+
+    return build
+
+
+_K = lambda: F.col("l_orderkey") * 10 + F.col("l_linenumber")  # noqa: E731
+_SIDE = lambda s, b: F.when(F.col("l_linenumber") % 2 == 0, s).otherwise(b)  # noqa: E731
+_SQL_SIDE = "CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END"
+_SQL_K = "l_orderkey * 10 + l_linenumber"
+_SQL_MSGID = "l_orderkey || ':' || l_linenumber AS msg_id"
+_SQL_PQ_PLAIN = (
+    "round(l_extendedprice, 2) AS price, "
+    "round(l_quantity, 1) AS quantity_base, "
+    "round(l_extendedprice, 2) * round(l_quantity, 1) AS quantity_quote"
+)
+
+
+@query(
+    "parse_mexc_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'BTC_USDT' AS symbol, 'BTC/USDT' AS pair,
+           {_BASE_TS} + {_SQL_K} AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="mexc spot push.deal: deals fan-out, trade_id = t, T==2 sell "
+    "(mexc_spot.rs:50-104).",
+)
+def parse_mexc_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import mexc
+
+    li = _msg_source(spark, sf_dir)
+    t = F.lit(_BASE_TS) + _K()
+    msg = F.format_string(
+        '{"symbol":"BTC_USDT","data":{"deals":[{"t":%d,"p":"%.2f",'
+        '"q":"%.1f","T":%d}]},"channel":"push.deal"}',
+        t,
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.when(F.col("l_linenumber") % 2 == 0, 2).otherwise(1),
+    )
+    raw = _raw5("mexc", "spot", msg)(li)
+    parsed = mexc.parse_trade(raw)
+    k = (F.col("timestamp") - _BASE_TS).cast("long")
+    return parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    ).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_zb_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'btcusdt' AS symbol, 'BTC/USDT' AS pair,
+           ({_SEC_BASE} + l_orderkey) * 1000 AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="zb spot trades: second-precision dates, tid ids, symbol from the "
+    "channel prefix (zb_spot.rs:104-140).",
+)
+def parse_zb_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import zb
+
+    li = _msg_source(spark, sf_dir)
+    msg = F.format_string(
+        '{"channel":"btcusdt_trades","data":[{"date":%d,"amount":"%.1f",'
+        '"price":"%.2f","trade_type":"x","type":"%s","tid":%d}],'
+        '"dataType":"trades"}',
+        F.lit(_SEC_BASE) + F.col("l_orderkey"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        _SIDE("sell", "buy"),
+        _K(),
+    )
+    raw = _raw5("zb", "spot", msg)(li)
+    return _recover_msg_id(zb.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_zbg_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'btc_usdt' AS symbol, 'BTC/USDT' AS pair,
+           ({_SEC_BASE} + {_SQL_K}) * 1000 AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="zbg spot positional tuple frames; trade_id = timestamp "
+    "(zbg_spot.rs parse_trade).",
+)
+def parse_zbg_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import zbg
+
+    li = _msg_source(spark, sf_dir)
+    msg = F.format_string(
+        '["T","329","%d","BTC_USDT","%s","%.2f","%.1f"]',
+        F.lit(_SEC_BASE) + _K(),
+        _SIDE("ask", "bid"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+    )
+    raw = _raw5("zbg", "spot", msg)(li)
+    parsed = zbg.parse_trade(raw)
+    k = (F.col("timestamp") / 1000 - _SEC_BASE).cast("long")
+    return parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    ).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_ftx_swap_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'BTC-PERP' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp, {_SQL_SIDE} AS side,
+           round(l_extendedprice, 2) AS price,
+           round(l_quantity, 1) AS quantity_base,
+           round(round(l_quantity, 1) * round(l_extendedprice, 2)
+                 * 1000000000) / 1000000000 AS quantity_quote
+    FROM lineitem
+    """,
+    doc="ftx linear-swap trades: 1-coin contracts (cv=1, round9 quote), "
+    "microsecond RFC3339 timestamps with offset (ftx.rs:157-208).",
+)
+def parse_ftx_swap_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import ftx
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    rfc = F.date_format(
+        F.timestamp_millis(ts), "yyyy-MM-dd'T'HH:mm:ss.SSS'000+00:00'"
+    )
+    msg = F.format_string(
+        '{"channel": "trades", "market": "BTC-PERP", "type": "update", '
+        '"data": [{"id": %d, "price": %.2f, "size": %.1f, "side": "%s", '
+        '"liquidation": false, "time": "%s"}]}',
+        _K(),
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        _SIDE("sell", "buy"),
+        rfc,
+    )
+    raw = _raw5("ftx", "linear_swap", msg)(li)
+    return _recover_msg_id(ftx.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_dydx_swap_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'BTC-USD' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + {_SQL_K} AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="dydx v3_trades: BUY/SELL sides, createdAt RFC3339, trade_id = "
+    "timestamp (dydx_swap.rs:100-140).",
+)
+def parse_dydx_swap_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import dydx
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + _K()
+    msg = F.format_string(
+        '{"type":"channel_data","id":"BTC-USD","channel":"v3_trades",'
+        '"contents":{"trades":[{"size":"%.1f","side":"%s","price":"%.2f",'
+        '"createdAt":"%s"}]}}',
+        F.col("l_quantity"),
+        _SIDE("SELL", "BUY"),
+        F.col("l_extendedprice"),
+        _rfc3339(ts),
+    )
+    raw = _raw5("dydx", "linear_swap", msg)(li)
+    parsed = dydx.parse_trade(raw)
+    k = (F.col("timestamp") - _BASE_TS).cast("long")
+    return parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    ).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_coinbase_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'BTC-USD' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="coinbase_pro match/last_match events (coinbase_pro.rs:96-130).",
+)
+def parse_coinbase_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import coinbase_pro
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"type":"last_match","trade_id":%d,"side":"%s","size":"%.1f",'
+        '"price":"%.2f","product_id":"BTC-USD","sequence":1,"time":"%s"}',
+        _K(),
+        _SIDE("sell", "buy"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        _rfc3339(ts),
+    )
+    raw = _raw5("coinbase_pro", "spot", msg)(li)
+    return _recover_msg_id(coinbase_pro.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bitstamp_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'btcusd' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + {_SQL_K} AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="bitstamp live_trades: microsecond timestamps floored to ms, "
+    "numeric type 1 = sell (bitstamp.rs:79-109).",
+)
+def parse_bitstamp_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bitstamp
+
+    li = _msg_source(spark, sf_dir)
+    micro = (F.lit(_BASE_TS) + _K()) * 1000
+    msg = F.format_string(
+        '{"channel": "live_trades_btcusd", "data": {"amount": %.1f, '
+        '"id": %d, "microtimestamp": "%d", "price": %.2f, "type": %d}}',
+        F.col("l_quantity"),
+        _K(),
+        micro,
+        F.col("l_extendedprice"),
+        F.when(F.col("l_linenumber") % 2 == 0, 1).otherwise(0),
+    )
+    raw = _raw5("bitstamp", "spot", msg)(li)
+    return _recover_msg_id(bitstamp.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bithumb_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'BTC-USDT' AS symbol, 'BTC/USDT' AS pair,
+           ({_SEC_BASE} + l_orderkey) * 1000 AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="bithumb code-00007 single trade: second timestamps, ver ids "
+    "(bithumb.rs:78-131).",
+)
+def parse_bithumb_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bithumb
+
+    li = _msg_source(spark, sf_dir)
+    msg = F.format_string(
+        '{"code":"00007","data":{"p":"%.2f","s":"%s","symbol":"BTC-USDT",'
+        '"t":"%d","v":"%.1f","ver":"%d"},"timestamp":1}',
+        F.col("l_extendedprice"),
+        _SIDE("sell", "buy"),
+        F.lit(_SEC_BASE) + F.col("l_orderkey"),
+        F.col("l_quantity"),
+        _K(),
+    )
+    raw = _raw5("bithumb", "spot", msg)(li)
+    return _recover_msg_id(bithumb.parse_trade(raw)).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bitz_spot_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'btc_usdt' AS symbol, 'BTC/USDT' AS pair,
+           {_BASE_TS} + {_SQL_K} AS timestamp, {_SQL_SIDE} AS side,
+           {_SQL_PQ_PLAIN}
+    FROM lineitem
+    """,
+    doc="bitz Pushdata.order: id carries the ms timestamp, fallback T*1000 "
+    "(bitz.rs:70-115).",
+)
+def parse_bitz_spot_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bitz
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + _K()
+    msg = F.format_string(
+        '{"msgId":0,"params":{"symbol":"btc_usdt"},"action":"Pushdata.order",'
+        '"data":[{"id":"%d","t":"x","T":%d,"p":"%.2f","n":"%.1f","s":"%s"}]}',
+        ts,
+        (ts / 1000).cast("long"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        _SIDE("sell", "buy"),
+    )
+    raw = _raw5("bitz", "spot", msg)(li)
+    parsed = bitz.parse_trade(raw)
+    k = (F.col("timestamp") - _BASE_TS).cast("long")
+    return parsed.withColumn(
+        "msg_id",
+        F.concat_ws(":", F.floor(k / 10).cast("string"), (k % 10).cast("string")),
+    ).select(*_TRADE_OUT)
+
+
+@query(
+    "parse_bitmex_inverse_trade",
+    oracle=f"""
+    SELECT {_SQL_MSGID}, 'XBTUSD' AS symbol, 'BTC/USD' AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp, {_SQL_SIDE} AS side,
+           round(l_extendedprice, 2) AS price,
+           round(CAST(l_quantity AS BIGINT) / 100.0, 4) AS quantity_base,
+           CAST(CAST(l_quantity AS BIGINT) * 10 AS DOUBLE) AS quantity_quote,
+           CAST(CAST(l_quantity AS BIGINT) * 10 AS DOUBLE)
+             AS quantity_contract
+    FROM lineitem
+    """,
+    doc="bitmex trade table: quantities come straight from homeNotional / "
+    "foreignNotional / size — the one exchange where qq != round9(p*qb) "
+    "(bitmex.rs:660-700, tests/utils.rs:29-31); XBT -> BTC pair rule.",
+)
+def parse_bitmex_inverse_trade(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import bitmex
+
+    li = _msg_source(spark, sf_dir)
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    msg = F.format_string(
+        '{"table":"trade","action":"insert","data":[{"timestamp":"%s",'
+        '"symbol":"XBTUSD","side":"%s","size":%d,"price":%.2f,'
+        '"trdMatchID":"%d","homeNotional":%.4f,"foreignNotional":%d}]}',
+        _rfc3339(ts),
+        _SIDE("Sell", "Buy"),
+        F.col("l_quantity").cast("long") * 10,
+        F.col("l_extendedprice"),
+        _K(),
+        F.col("l_quantity").cast("long") / 100.0,
+        F.col("l_quantity").cast("long") * 10,
+    )
+    raw = _raw5("bitmex", "inverse_swap", msg)(li)
+    parsed = bitmex.parse_trade(raw)
+    return _recover_msg_id(parsed).select(
+        *_TRADE_OUT, "quantity_contract"
+    )
+
+
 # ---------------------------------------------------------------- routing
 
 @query(
