@@ -1,0 +1,90 @@
+"""Physical-plan regression guards for the optimizer claims the engine
+makes (BENCH/BASELINE.md, SURVEY §4): filters reach the parquet scan,
+column pruning holds, small dimensions broadcast, and no query silently
+degenerates to a cartesian product. Plan strings are asserted loosely
+(feature presence, not exact trees) so Spark upgrades don't break them."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_msg_parser_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read provenance-only columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ("q5_region_revenue", "join_broadcast_dim"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # every registered query must avoid accidental cross joins; the ANN
+    # brute-force scans are explicit BroadcastNestedLoop by design
+    allowed_bnl = {"ann_cosine_topk"}
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnl:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_parse_queries_scan_once(spark):
+    """The parsed_once Generate barrier: each single-format parse query
+    evaluates its from_json envelope exactly once per row."""
+    for name in (
+        "parse_binance_spot_trade",
+        "parse_kucoin_spot_trade",
+        "parse_okx_swap_trade",
+        "parse_huobi_spot_trade",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("from_json") <= 2, (  # envelope + optional probe
+            f"{name}: from_json duplicated {plan.count('from_json')}x"
+        )
+
+
+def test_seen_set_anti_join_is_exchange_free(spark):
+    """Bucketed seen-set dedup: the co-partitioned merge anti-join adds no
+    shuffle beyond the frontier's own preparation."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.frontier import dedup_against_seen
+    from crypto_msg_parser_spark.crawl.queries import _frontier_df
+    from crypto_msg_parser_spark.crawl.scheduler import bucketize, prepare_frontier
+
+    f = bucketize(prepare_frontier(_frontier_df(spark, SF)), 8)
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select(
+        "rank_bucket", "url_hash", "canonical"
+    )
+    plan = (
+        dedup_against_seen(f, seen)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "LeftAnti" in plan
+    # the anti-join itself introduces no hash-partitioning exchange on the
+    # full (bucket, hash, canonical) tuple
+    assert "hashpartitioning(rank_bucket" in plan.lower() or plan.count(
+        "Exchange"
+    ) <= plan.count("REPARTITION") + 2
