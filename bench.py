@@ -37,6 +37,9 @@ HEADLINE = [
     "parse_gate_linear_swap_trade",
     "route_mixed_exchanges",
     "politeness_schedule",
+    "robots_gate",
+    "cuckoo_frontier_dedup",
+    "media_decode_meta",
 ]
 
 

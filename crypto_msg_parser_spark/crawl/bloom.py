@@ -82,7 +82,7 @@ def build_bloom_buckets(
         b.add(pdf[hash_col].to_numpy(dtype=np.int64))
         return pd.DataFrame(
             {
-                "rank_bucket": [int(pdf[bucket_col].iloc[0])],
+                bucket_col: [int(pdf[bucket_col].iloc[0])],
                 "n": [n],
                 "m": [b.m],
                 "k": [b.k],
@@ -90,8 +90,9 @@ def build_bloom_buckets(
             }
         )
 
+    schema = f"{bucket_col} long, n long, m long, k long, bits binary"
     return (
         seen_df.select(bucket_col, hash_col)
         .groupBy(bucket_col)
-        .applyInPandas(fold, BLOOM_TABLE_SCHEMA)
+        .applyInPandas(fold, schema)
     )

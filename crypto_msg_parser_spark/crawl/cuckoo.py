@@ -54,19 +54,48 @@ class Cuckoo:
         )
         return (i1.astype(np.uint64) ^ hfp).astype(np.int64)
 
+    def _bulk_place(self, fps: np.ndarray, bkts: np.ndarray) -> np.ndarray:
+        """Vectorized batch placement into one candidate bucket each;
+        returns the indices of items that did not fit. Sort-by-bucket +
+        rank-within-bucket turns slot assignment into a single scatter —
+        a Python per-item loop here measured ~100x slower on the 2M-URL
+        bench corpus."""
+        n = len(fps)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        order = np.argsort(bkts, kind="stable")
+        bs = bkts[order]
+        # rank of each item within its bucket group
+        first = np.searchsorted(bs, bs, side="left")
+        rank = np.arange(n) - first
+        occ = (self.table[bs] != 0).sum(axis=1)
+        slot = occ + rank
+        fit = slot < SLOTS
+        self.table[bs[fit], slot[fit]] = fps[order][fit]
+        return order[~fit]
+
     def insert(self, hashes: np.ndarray) -> None:
-        h = np.asarray(hashes, dtype=np.int64)
+        # batch-dedupe: the vectorized passes would otherwise place two
+        # copies of a same-batch duplicate (the old per-item loop re-checked
+        # presence between items)
+        h = np.unique(np.asarray(hashes, dtype=np.int64))
         fps, i1s = self._fp(h), self._i1(h)
         i2s = self._i2(i1s, fps)
+        # skip already-present keys (dedup semantics), vectorized
+        present = (self.table[i1s] == fps[:, None]).any(axis=1) | (
+            self.table[i2s] == fps[:, None]
+        ).any(axis=1)
+        todo = np.nonzero(~present)[0]
+        # pass 1: primary buckets; pass 2: alternates — both vectorized
+        left = todo[self._bulk_place(fps[todo], i1s[todo])]
+        left = left[self._bulk_place(fps[left], i2s[left])]
+        # pass 3: the eviction loop, only for the residue of full buckets
         rng_state = 0x9E3779B9
-        for fp, i1, i2, raw in zip(fps, i1s, i2s, h):
-            if self._in_bucket(i1, fp) or self._in_bucket(i2, fp):
-                continue  # already present (dedup semantics)
-            if self._try_put(i1, fp) or self._try_put(i2, fp):
-                continue
+        for j in left:
+            fp, i1, raw = fps[j], i1s[j], h[j]
             cur, fpv = int(i1), int(fp)
             placed = False
-            for kick in range(MAX_KICKS):
+            for _ in range(MAX_KICKS):
                 # deterministic victim slot
                 rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
                 slot = rng_state % SLOTS
@@ -144,7 +173,10 @@ def build_cuckoo_buckets(
     seen_df, bucket_col: str = "rank_bucket", hash_col: str = "url_hash"
 ):
     """One cuckoo filter per storage bucket, built executor-side — the
-    deletable twin of bloom.build_bloom_buckets."""
+    deletable twin of bloom.build_bloom_buckets. ``bucket_col`` may be a
+    coarsened bucket id (rank_bucket >> k): each filter then covers a
+    contiguous run of storage buckets, still co-partitionable, with fewer
+    per-group pandas invocations on small corpora."""
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         c = Cuckoo(max(len(pdf), 64))
@@ -152,7 +184,7 @@ def build_cuckoo_buckets(
         m, table, ovf = c.to_state()
         return pd.DataFrame(
             {
-                "rank_bucket": [int(pdf[bucket_col].iloc[0])],
+                bucket_col: [int(pdf[bucket_col].iloc[0])],
                 "n": [len(pdf)],
                 "m": [m],
                 "table": [table],
@@ -160,10 +192,11 @@ def build_cuckoo_buckets(
             }
         )
 
+    schema = f"{bucket_col} long, n long, m long, table binary, overflow array<long>"
     return (
         seen_df.select(bucket_col, hash_col)
         .groupBy(bucket_col)
-        .applyInPandas(fold, CUCKOO_TABLE_SCHEMA)
+        .applyInPandas(fold, schema)
     )
 
 

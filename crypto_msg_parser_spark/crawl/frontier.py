@@ -64,7 +64,11 @@ def dedup_against_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
 
 
 def bloom_prefilter(
-    spark: SparkSession, frontier: DataFrame, seen: DataFrame, fpp: float = 0.01
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen: DataFrame,
+    fpp: float = 0.01,
+    coarsen: int = 0,
 ):
     """Scale-path prefilter: per-BUCKET Bloom filters over the seen-set
     hashes drop definite-unseen rows from the anti-join input. Never used
@@ -86,7 +90,12 @@ def bloom_prefilter(
             "bloom_prefilter requires rank_bucket on both sides "
             "(canonicalize/schedule attach it at frontier ingest)"
         )
-    blooms = build_bloom_buckets(seen, "rank_bucket", "url_hash", fpp)
+    # coarsen: see cuckoo_prefilter — filter granularity rank_bucket >> k
+    fb = F.shiftright(F.col("rank_bucket"), coarsen).alias("_fbkt")
+    frontier = frontier.withColumn("_fbkt", fb)
+    blooms = build_bloom_buckets(
+        seen.withColumn("_fbkt", fb), "_fbkt", "url_hash", fpp
+    )
     # fresh StructType: .add() would MUTATE the DataFrame's cached schema
     out_schema = T.StructType(
         list(frontier.schema.fields)
@@ -107,33 +116,43 @@ def bloom_prefilter(
         return out
 
     flagged = (
-        frontier.groupBy("rank_bucket")
-        .cogroup(blooms.groupBy("rank_bucket"))
+        frontier.groupBy("_fbkt")
+        .cogroup(blooms.groupBy("_fbkt"))
         .applyInPandas(apply_fn, out_schema)
-    )
+    ).drop("_fbkt")
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     return definitely_new, needs_check
 
 
 def cuckoo_prefilter(
-    spark: SparkSession, frontier: DataFrame, seen: DataFrame
+    spark: SparkSession, frontier: DataFrame, seen: DataFrame, coarsen: int = 0
 ):
     """Deletable twin of bloom_prefilter: per-bucket cuckoo filters
-    (crawl/cuckoo.py) applied by cogrouping on rank_bucket. Same contract:
-    no false negatives, false positives fall through to the exact join;
-    unlike Bloom, the filter table supports retiring URLs in place
-    (cuckoo_update_buckets) for recrawl/TTL eviction."""
+    (crawl/cuckoo.py) applied by cogrouping on the bucket id. Same
+    contract: no false negatives, false positives fall through to the
+    exact join; unlike Bloom, the filter table supports retiring URLs in
+    place (cuckoo_update_buckets) for recrawl/TTL eviction.
+
+    ``coarsen``: filter-layer granularity = rank_bucket >> coarsen. Each
+    pandas cogroup invocation has a fixed ~5-10 ms overhead, so at small
+    corpus sizes 1024 near-empty groups are pure overhead (measured ~10s
+    at sf0.1); a coarse bucket is a contiguous run of storage buckets, so
+    co-partitioning still holds. At the 10^10 design point use coarsen=0
+    (each storage bucket's filter is already ~GB-scale work)."""
     import numpy as np
 
     from crypto_msg_parser_spark.crawl.cuckoo import Cuckoo, build_cuckoo_buckets
 
     if "rank_bucket" not in frontier.columns or "rank_bucket" not in seen.columns:
         raise ValueError("cuckoo_prefilter requires rank_bucket on both sides")
-    filters = build_cuckoo_buckets(seen, "rank_bucket", "url_hash")
+    fb = F.shiftright(F.col("rank_bucket"), coarsen).alias("_fbkt")
+    fr = frontier.withColumn("_fbkt", fb)
+    filters = build_cuckoo_buckets(
+        seen.withColumn("_fbkt", fb), "_fbkt", "url_hash"
+    )
     out_schema = T.StructType(
-        list(frontier.schema.fields)
-        + [T.StructField("maybe_seen", T.BooleanType())]
+        list(fr.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
     def apply_fn(key, fdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
@@ -152,10 +171,10 @@ def cuckoo_prefilter(
         return out
 
     flagged = (
-        frontier.groupBy("rank_bucket")
-        .cogroup(filters.groupBy("rank_bucket"))
+        fr.groupBy("_fbkt")
+        .cogroup(filters.groupBy("_fbkt"))
         .applyInPandas(apply_fn, out_schema)
-    )
+    ).drop("_fbkt")
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     return definitely_new, needs_check

@@ -187,11 +187,20 @@ def cuckoo_frontier_dedup(spark, sf_dir):
     )
     from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier
 
-    f = prepare_frontier(_frontier_df(spark, sf_dir))
+    # the prepared frontier feeds four consumers (filter build, both
+    # prefilter outputs, the exact-join backstop); materialize the
+    # regex-heavy canonicalization once
+    f = (
+        prepare_frontier(_frontier_df(spark, sf_dir))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     seen = f.filter(F.col("p_partkey") % 3 == 0).select(
         "rank_bucket", "url_hash", "canonical"
     )
-    definitely_new, needs_check = cuckoo_prefilter(spark, f, seen)
+    # coarsen=5 -> 32 filter groups: at sf-scale corpora 1024 near-empty
+    # pandas cogroups are fixed overhead; see cuckoo_prefilter docstring
+    definitely_new, needs_check = cuckoo_prefilter(spark, f, seen, coarsen=5)
     new = definitely_new.unionByName(dedup_against_seen(needs_check, seen))
     return new.groupBy("host").agg(F.count(F.lit(1)).alias("n_new"))
 
