@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     SPOT,
     finalize,
@@ -222,8 +223,7 @@ def _parse_trade_mix(df: DataFrame) -> DataFrame:
         )
         .withColumn("symbol", _mix_symbol(F.col("msg")))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     ts = F.col("d")[0].cast("long")
     price = F.col("d")[1].cast("double")
@@ -259,8 +259,7 @@ def _parse_trade_legacy(df: DataFrame) -> DataFrame:
             (_fmt(F.col("msg")) == "legacy")
             & (F.get_json_object("msg", "$.table") == "swap/trade")
         )
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("symbol", F.col("d.instrument_id"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )
@@ -332,8 +331,7 @@ def _parse_l2_mix(df: DataFrame) -> DataFrame:
         .withColumn(
             "snapshot", F.get_json_object("msg", "$.action") == "snapshot"
         )
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
 
     def order(lv):
@@ -437,8 +435,7 @@ def parse_funding_rate(df: DataFrame) -> DataFrame:
             (_fmt(F.col("msg")) == "legacy")
             & (F.get_json_object("msg", "$.table") == "swap/funding_rate")
         )
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("symbol", F.col("d.instrument_id"))
     )
     out = base.select(
@@ -487,8 +484,7 @@ def _parse_candle_mix(df: DataFrame) -> DataFrame:
         .withColumn("period", F.expr("substring(get_json_object(msg, '$.arg.channel'), 7)"))
         .withColumn("symbol", _mix_symbol(F.col("msg")))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     ts = F.col("d")[0].cast("long")
     out = base.select(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.functions.scalar import round9
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     finalize,
     quantity_triple,
     sort_book_sides,
@@ -194,8 +195,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.data"), f"array<{_TRADE_ELEM}>")
     base = (
         df.filter(_table(F.col("msg")) == "trade")
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("pair", normalize_pair(F.col("d.symbol")))
     )
     out = base.select(
@@ -230,8 +230,7 @@ def parse_funding_rate(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.data"), f"array<{_FUNDING_ELEM}>")
     base = (
         df.filter(_table(F.col("msg")) == "funding")
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("pair", normalize_pair(F.col("d.symbol")))
     )
     out = base.select(

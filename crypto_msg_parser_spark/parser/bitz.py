@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize, parsed_once
+from crypto_msg_parser_spark.parser.common import finalize, parsed_once, explode_with_count
 
 EXCHANGE = "bitz"
 
@@ -44,8 +44,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
         df.filter(F.get_json_object("msg", "$.action") == "Pushdata.order")
         .withColumn("symbol", F.get_json_object("msg", "$.params.symbol"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     price = F.col("d.p").cast("double")
     qty = F.col("d.n").cast("double")

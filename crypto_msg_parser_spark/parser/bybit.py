@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     INVERSE,
     finalize,
     quantity_triple,
@@ -117,8 +118,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.data"), f"array<{_TRADE_ELEM}>")
     base = (
         df.filter(F.split(_topic(F.col("msg")), "\\.").getItem(0) == "trade")
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("pair", normalize_pair(F.col("d.symbol")))
     )
     price = F.col("d.price").cast("double")
@@ -244,8 +244,7 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
         )
         .withColumn("symbol", F.element_at(F.split("topic", "\\."), -1))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     is_inverse = F.col("market_type").isin(*INVERSE)
     topic_period = F.split("topic", "\\.").getItem(1)

@@ -50,6 +50,32 @@ def parsed_once(expr: Column, alias: str = "d"):
     return _apply
 
 
+def explode_with_count(arr_expr: Column, alias: str = "d", n_alias: str = "n_items"):
+    """``df.transform(explode_with_count(arr))``: fan out a parsed array
+    with its element count available (for the whole-msg-vs-element json
+    provenance choice), evaluating the array parse exactly ONCE.
+
+    The prevailing ``withColumn(n_items, size(arr)) + explode(arr)`` shape
+    evaluates the whole from_json chain twice per row (plus once more in
+    any pushed-down filter). Wrapping the (count, items) struct in the
+    same Generate barrier as parsed_once pins one evaluation; the explode
+    then reads the materialized struct. Empty/null arrays drop the row —
+    identical to exploding the raw array."""
+
+    def _apply(df):
+        env = F.struct(
+            F.size(arr_expr).alias("__n"), arr_expr.alias("__items")
+        )
+        return (
+            df.select("*", F.explode(F.array(env)).alias("__env"))
+            .withColumn(n_alias, F.col("__env.__n"))
+            .select("*", F.explode("__env.__items").alias(alias))
+            .drop("__env")
+        )
+
+    return _apply
+
+
 def quantity_triple(
     market_type: Column, price: Column, quantity: Column, contract_value: Column
 ) -> Column:

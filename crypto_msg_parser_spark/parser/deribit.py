@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     finalize,
     quantity_triple,
@@ -164,8 +165,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.params.data"), _TRADE)
     base = (
         df.filter(_channel(F.col("msg")).startswith("trades"))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("symbol", F.col("d.instrument_name"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
         .withColumn("cv", contract_value(F.col("pair"), F.col("market_type")))

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
-from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides
+from crypto_msg_parser_spark.parser.common import finalize, sort_book_sides, explode_with_count
 
 EXCHANGE = "dydx"
 
@@ -79,8 +79,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
         df.filter(F.get_json_object("msg", "$.channel") == "v3_trades")
         .withColumn("symbol", F.get_json_object("msg", "$.id"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     price = F.col("d.price").cast("double")
     size = F.col("d.size").cast("double")

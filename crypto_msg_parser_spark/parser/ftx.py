@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     finalize,
     quantity_triple,
@@ -122,8 +123,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
         df.filter(_channel(F.col("msg")) == "trades")
         .withColumn("symbol", F.get_json_object("msg", "$.market"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     q = quantity_triple(
         F.col("market_type"), F.col("d.price"), F.col("d.size"), F.lit(1.0)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     INVERSE,
     LINEAR_FUTURE,
@@ -245,8 +246,7 @@ def _parse_trade_spot_legacy(df: DataFrame) -> DataFrame:
         df.filter(_method(F.col("msg")) == "trades.update")
         .withColumn("symbol", F.get_json_object("msg", "$.params[0]"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     price = F.col("d.price").cast("double")
     qty = F.col("d.amount").cast("double")
@@ -305,8 +305,7 @@ def _parse_trade_deriv(df: DataFrame) -> DataFrame:
     arr = F.from_json(F.get_json_object("msg", "$.result"), _SWAP_TRADE)
     base = (
         df.filter(_channel(F.col("msg")) == "futures.trades")
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn("symbol", F.col("d.contract"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )

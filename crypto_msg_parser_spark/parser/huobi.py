@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     INVERSE,
     SPOT,
     finalize,
@@ -157,8 +158,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
         .filter(F.col("ch").endswith("trade.detail"))
         .withColumn("symbol", F.split("ch", "\\.").getItem(1))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(tick["data"]))
-        .select("*", F.explode(tick["data"]).alias("d"))
+        .transform(explode_with_count(tick["data"]))
     )
     base = with_contract_value(base)
     is_spot = F.col("market_type") == SPOT

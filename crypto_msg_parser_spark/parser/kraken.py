@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     SPOT,
     finalize,
     sort_book_sides,
@@ -228,8 +229,7 @@ def _parse_trade_spot(df: DataFrame) -> DataFrame:
         df.filter(F.col("msg").startswith("[") & (_channel(F.col("msg")) == "trade"))
         .withColumn("symbol", _spot_symbol(F.col("msg")))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     price = F.col("d")[0].cast("double")
     qty = F.col("d")[1].cast("double")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     SPOT,
     finalize,
@@ -168,8 +169,7 @@ def _parse_trade_spot(df: DataFrame) -> DataFrame:
         df.withColumn("symbol", F.get_json_object(inner, "$.symbol"))
         .filter(arr.isNotNull() & (F.size(arr) > 0))
         .withColumn("pair", normalize_pair(F.col("symbol")))
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     price = F.col("d.p").cast("double")
     qty = F.col("d.q").cast("double")

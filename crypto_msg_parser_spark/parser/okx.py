@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     INVERSE,
     SPOT,
@@ -218,8 +219,7 @@ def parse_trade(df: DataFrame) -> DataFrame:
             (_channel(F.col("msg")) == "trades")
             | _table(F.col("msg")).endswith("/trade")
         )
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn(
             "symbol", F.coalesce(F.col("d.instId"), F.col("d.instrument_id"))
         )
@@ -299,8 +299,7 @@ def parse_l2(df: DataFrame) -> DataFrame:
         )
         .withColumn("is_topk", is_topk)
         .withColumn("action", action)
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn(
             "symbol",
             F.coalesce(
@@ -363,8 +362,7 @@ def parse_funding_rate(df: DataFrame) -> DataFrame:
             (_channel(F.col("msg")) == "funding-rate")
             | (_table(F.col("msg")) == "swap/funding_rate")
         )
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
         .withColumn(
             "symbol", F.coalesce(F.col("d.instId"), F.col("d.instrument_id"))
         )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_with_count,
     parsed_once,
     SPOT,
     finalize,
@@ -376,8 +377,7 @@ def _parse_candle_spot(df: DataFrame) -> DataFrame:
         .withColumn("pair", normalize_pair(F.col("symbol")))
         .withColumn("period", period)
         .withColumn("m_seconds", m_seconds)
-        .withColumn("n_items", F.size(arr))
-        .select("*", F.explode(arr).alias("d"))
+        .transform(explode_with_count(arr))
     )
     ts = F.col("d").getItem(0).cast("long")
     o = F.col("d").getItem(1)
