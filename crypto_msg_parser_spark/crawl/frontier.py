@@ -224,6 +224,23 @@ def fetch_stub(scheduled: DataFrame) -> DataFrame:
     return scheduled.mapInPandas(fetch, DOCUMENTS_SCHEMA)
 
 
+def epoch_metrics(docs: DataFrame) -> dict:
+    """Fetch-stage metrics for one crawl epoch, as one aggregation pass
+    over the landed interleaved documents: doc/span counts by kind plus
+    payload volume. Rides the checkpoint manifest so a resume can report
+    cumulative fetch/parse progress (north-rule requirement)."""
+    spans = docs.select(F.explode("spans").alias("s"))
+    row = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("s.kind") == "text").cast("long")).alias("n_text_spans"),
+        F.sum((F.col("s.kind") == "media").cast("long")).alias("n_media_spans"),
+        F.sum(F.length(F.coalesce(F.col("s.text"), F.lit("")))).alias(
+            "text_chars"
+        ),
+    ).collect()[0]
+    return {"n_docs": docs.count(), **{k: int(v or 0) for k, v in row.asDict().items()}}
+
+
 class FrontierCheckpoint:
     """Parquet-snapshot checkpoint with per-partition lineage manifest —
     the sandbox stand-in for Iceberg snapshot commits."""
@@ -235,7 +252,12 @@ class FrontierCheckpoint:
         return os.path.join(self.root, f"snapshot={snapshot_id}")
 
     def commit(
-        self, spark: SparkSession, snapshot_id: str, frontier: DataFrame, seen: DataFrame
+        self,
+        spark: SparkSession,
+        snapshot_id: str,
+        frontier: DataFrame,
+        seen: DataFrame,
+        metrics: dict | None = None,
     ) -> dict:
         d = self._snap_dir(snapshot_id)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
@@ -255,6 +277,9 @@ class FrontierCheckpoint:
             "frontier_rows": frontier.count(),
             "seen_rows": seen.count(),
             "partitions": [r.asDict() for r in lineage],
+            # fetch/parse progress counters (epoch_metrics) so a resumed
+            # job reports cumulative throughput, not just state sizes
+            "metrics": metrics or {},
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, default=str)

@@ -29,9 +29,14 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    builder = SparkSession.builder
+    # Under spark-submit the master comes from the launcher (--master /
+    # cluster manager); forcing local[] here would silently un-cluster the
+    # job. SPARK_GRAFT_INHERIT_MASTER=1 defers to the submit-time master.
+    if os.environ.get("SPARK_GRAFT_INHERIT_MASTER") != "1":
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

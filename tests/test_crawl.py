@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from crypto_msg_parser_spark.crawl import oracle_sim
 from crypto_msg_parser_spark.crawl.frontier import (
     FrontierCheckpoint,
+    epoch_metrics,
     bloom_prefilter,
     crawl_step,
     dedup_against_seen,
@@ -149,12 +150,19 @@ def test_checkpoint_resume(spark, tmp_path):
 
     docs1, new1, seen1 = crawl_step(spark, f, empty_seen)
     ckpt = FrontierCheckpoint(str(tmp_path))
-    manifest = ckpt.commit(spark, "s1", f, seen1)
+    metrics = epoch_metrics(docs1)
+    manifest = ckpt.commit(spark, "s1", f, seen1, metrics=metrics)
     assert manifest["seen_rows"] == seen1.count() > 0
     assert manifest["partitions"]
+    assert manifest["metrics"]["n_docs"] == docs1.count() > 0
+    assert (
+        manifest["metrics"]["n_spans"]
+        == metrics["n_text_spans"] + metrics["n_media_spans"]
+    )
 
     f2, seen2, m2 = ckpt.restore(spark, "s1")
     assert m2["snapshot_id"] == "s1"
+    assert m2["metrics"] == metrics  # counters survive the round-trip
     # resuming with the restored seen set: nothing new to crawl
     _, new2, _ = crawl_step(spark, f2, seen2)
     assert new2.count() == 0

@@ -59,8 +59,14 @@ def frontier_df(spark, cores):
 
 
 def msgs_df(spark, cores):
-    fixtures = pathlib.Path(__file__).resolve().parent.parent / (
-        "tests/fixtures/reference_fixtures.jsonl"
+    fixtures = pathlib.Path(
+        os.environ.get(
+            "BENCH_FIXTURES",
+            str(
+                pathlib.Path(__file__).resolve().parent.parent
+                / "tests/fixtures/reference_fixtures.jsonl"
+            ),
+        )
     )
     rows = [json.loads(line) for line in fixtures.open()]
     trades = [

@@ -27,18 +27,83 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
+def build_engine_zip() -> pathlib.Path:
+    """Package crypto_msg_parser_spark/ into BENCH/engine.zip — the
+    artifact a real cluster submit ships with --py-files."""
+    import zipfile
+
+    dest = ROOT / "BENCH/engine.zip"
+    dest.parent.mkdir(exist_ok=True)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted((ROOT / "crypto_msg_parser_spark").rglob("*")):
+            if p.is_file() and "__pycache__" not in p.parts:
+                z.write(p, p.relative_to(ROOT))
+    return dest
+
+
+def find_spark_submit() -> str | None:
+    import shutil as _sh
+
+    cand = _sh.which("spark-submit")
+    if cand:
+        return cand
+    try:
+        import pyspark
+
+        p = pathlib.Path(pyspark.__file__).parent / "bin/spark-submit"
+        return str(p) if p.exists() else None
+    except ImportError:
+        return None
+
+
 def run(cores: int) -> dict:
-    env = dict(os.environ, BENCH_CORES=str(cores))
-    out = subprocess.run(
-        [sys.executable, str(ROOT / "tools/bench_job.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1200,
+    """One bench process at local[cores], launched the way a cluster job
+    is: spark-submit --master ... --py-files engine.zip bench_job.py, from
+    a scratch cwd so the engine import MUST resolve from the zip (i.e. the
+    packaging itself is under test). Falls back to a plain python launch
+    if spark-submit is unavailable."""
+    import shutil
+    import tempfile
+
+    env = dict(
+        os.environ,
+        BENCH_CORES=str(cores),
+        BENCH_FIXTURES=str(ROOT / "tests/fixtures/reference_fixtures.jsonl"),
     )
+    submit = find_spark_submit()
+    if submit:
+        zippath = build_engine_zip()
+        with tempfile.TemporaryDirectory(prefix="bench_submit_") as td:
+            shutil.copy(ROOT / "tools/bench_job.py", td)
+            env["SPARK_GRAFT_INHERIT_MASTER"] = "1"
+            cmd = [
+                submit,
+                "--master",
+                f"local[{cores}]",
+                # in-process builder confs can't size an already-launched
+                # JVM; driver memory must come from the launcher
+                "--driver-memory",
+                os.environ.get("SPARK_DRIVER_MEM", "48g"),
+                "--py-files",
+                str(zippath),
+                "bench_job.py",
+            ]
+            out = subprocess.run(
+                cmd, cwd=td, env=env, capture_output=True, text=True, timeout=1200
+            )
+    else:
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "tools/bench_job.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rec["launcher"] = "spark-submit --py-files" if submit else "python"
+    return rec
 
 
 def best_of(cores: int, reps: int) -> dict:
