@@ -40,6 +40,7 @@ HEADLINE = [
     "robots_gate",
     "cuckoo_frontier_dedup",
     "media_decode_meta",
+    "spans_interleave_roundtrip",
 ]
 
 
