@@ -184,12 +184,39 @@ def _lsh_bands(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def _bigrams(words_col):
+    """Distinct word-bigram shingles: zip the word array with itself
+    shifted by one (zip_with pads the shorter side with nulls — filtered)."""
+    shifted = F.slice(
+        words_col, 2, F.greatest(F.size(words_col) - 1, F.lit(0))
+    )
+    joined = F.zip_with(
+        words_col,
+        shifted,
+        lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+    )
+    return F.array_distinct(F.filter(joined, lambda x: x.isNotNull()))
+
+
+def _sql_bigrams(words_expr: str) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len({words_expr}) - 1), "
+        f"i -> {words_expr}[i] || ' ' || {words_expr}[i + 1]))"
+    )
+
+
 _SQL_REPS = (
     "SELECT min(doc_id) AS doc_id, any_value(text) AS text "
     "FROM documents GROUP BY md5(text)"
 )
 _SQL_HASHED = (
-    f"SELECT doc_id, {_sql_word_hashes(_sql_words('text'))} AS wh FROM reps"
+    # shingle the RAW word sequence (split order is deterministic in both
+    # engines; list_distinct's output order is NOT) — _bigrams/_sql_bigrams
+    # dedupe the shingles themselves
+    "SELECT doc_id, "
+    f"{_sql_word_hashes(_sql_bigrams('ws'))} AS wh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM reps)"
 )
 _SQL_SIG = (
     "SELECT doc_id, wh, "
@@ -227,17 +254,21 @@ _SQL_BANDS = " UNION ALL ".join(
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     doc="near-dup pairs over exact-dedup REPRESENTATIVES (min doc_id per "
-    "content hash): MinHash -> LSH banding -> bucket pair expansion -> "
-    "word-set Jaccard verify on candidates only, computed on the hashed "
-    "word sets (60-bit, collision odds ~n^2/2^60 — identical in both "
-    "engines either way). Exact duplicates are the exact-dedup pass's job "
+    "content hash): bigram-shingle MinHash -> LSH banding -> bucket pair "
+    "expansion -> shingle-set Jaccard verify on candidates only, computed "
+    "on the hashed shingle sets (60-bit, collision odds ~n^2/2^60 — "
+    "identical in both engines either way). Shingles, not unigrams: on a "
+    "Zipfian/small vocabulary most docs share most WORDS (this corpus has "
+    "31 distinct words; unigram banding put 3,177 of 4,992 reps in ONE "
+    "bucket = 21M candidate pairs at sf0.1), while bigram shingles (931 "
+    "here) keep random-pair similarity near zero — the standard MMDS "
+    "shingling argument. Exact duplicates are the exact-dedup pass's job "
     "(dedup_exact) — feeding them to LSH creates quadratic buckets of "
-    "identical docs, which at sf0.1 blew the pair count to 6.6M rows for "
-    "zero information.",
+    "identical docs.",
 )
 def neardup_minhash_lsh(spark, sf_dir):
     raw_docs = load_table(spark, sf_dir, "documents")
-    # ONE md5 pass: representatives' word sets are hashed once and that
+    # ONE md5 pass: representatives' shingle sets are hashed once and that
     # array feeds every consumer — all 8 minhash permutations (xor-min) AND
     # both sides of the Jaccard verify. Round 1 ran 8 separate md5 passes
     # for the signature plus a string-array intersect for the verify; this
@@ -249,7 +280,7 @@ def neardup_minhash_lsh(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
         .select(
             "doc_id",
-            F.transform(_words(F.col("text")), _hasher(0)).alias("wh"),
+            F.transform(_bigrams(F.split(F.col("text"), " ")), _hasher(0)).alias("wh"),
         )
         .localCheckpoint(eager=True)
     )
@@ -465,28 +496,6 @@ def neardup_simhash(spark, sf_dir):
 def neardup_word_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return neardup_jaccard_blocked(docs, block_col="lang")
-
-
-def _bigrams(words_col):
-    """Distinct word-bigram shingles: zip the word array with itself
-    shifted by one (zip_with pads the shorter side with nulls — filtered)."""
-    shifted = F.slice(
-        words_col, 2, F.greatest(F.size(words_col) - 1, F.lit(0))
-    )
-    joined = F.zip_with(
-        words_col,
-        shifted,
-        lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-    )
-    return F.array_distinct(F.filter(joined, lambda x: x.isNotNull()))
-
-
-def _sql_bigrams(words_expr: str) -> str:
-    return (
-        f"list_distinct(list_transform("
-        f"generate_series(1, len({words_expr}) - 1), "
-        f"i -> {words_expr}[i] || ' ' || {words_expr}[i + 1]))"
-    )
 
 
 @query(
