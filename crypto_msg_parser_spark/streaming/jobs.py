@@ -194,3 +194,58 @@ def parse_trades_stream(raw: DataFrame) -> DataFrame:
     from crypto_msg_parser_spark.parser import api
 
     return api.parse_trade(raw)
+
+
+FRONTIER_URLS_DDL = (
+    "url string, host string, priority int, rate_budget_per_min int"
+)
+
+
+def stream_frontier_urls(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of discovered frontier URLs (a real crawl tails
+    the discovery topic/table; schema matches crawl.seeds)."""
+    return spark.readStream.schema(FRONTIER_URLS_DDL).parquet(src_dir)
+
+
+def frontier_seen_stream(urls: DataFrame) -> DataFrame:
+    """The URL-seen set as STREAMING keyed state: the batch
+    `crawl.frontier.dedup_against_seen` anti-join becomes
+    applyInPandasWithState per `rank_bucket`, so the seen-set partitioning
+    is identical to the batch/Iceberg layout (bucket = top hash bits) and
+    state never crosses executors. First occurrence of each canonical URL
+    — within or across micro-batches — is emitted exactly once.
+
+    State here is the exact 60-bit fingerprint set per bucket (list<long>),
+    which is what the batch cuckoo layer stores too (crawl/cuckoo.py); at
+    10^10-URL scale the same job runs with the RocksDB state store provider
+    and this per-bucket list becomes its column family — the partitioning
+    story is unchanged.
+    """
+    from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier
+
+    prepared = prepare_frontier(urls).select(
+        "rank_bucket", "url_hash", "canonical"
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            # vectorized: in-chunk first-occurrence, then the cross-batch
+            # membership test against accumulated state
+            pdf = pdf.drop_duplicates(subset=["url_hash"])
+            fresh = pdf[~pdf["url_hash"].isin(seen)]
+            if len(fresh):
+                seen.update(int(h) for h in fresh["url_hash"])
+                yield fresh[["rank_bucket", "url_hash", "canonical"]]
+        state.update((sorted(seen),))
+
+    return prepared.groupBy("rank_bucket").applyInPandasWithState(
+        update,
+        outputStructType="rank_bucket long, url_hash long, canonical string",
+        stateStructType="hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -179,3 +179,61 @@ def test_gate_stateful_l2_stream_crosses_microbatches(spark, tmp_path):
     ]
     assert [(len(b["asks"]), len(b["bids"])) for b in batch] == [(1, 1), (1, 1)]
     assert batch[1]["asks"][0]["price"] == 100.0
+
+
+def test_frontier_seen_stream_dedups_across_microbatches(spark, tmp_path):
+    """Streaming URL-seen state: a URL re-discovered in a LATER micro-batch
+    must be suppressed by state from an EARLIER one, and the emitted set
+    must equal the batch dedup of the union (batch/stream parity)."""
+    from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        frontier_seen_stream,
+    )
+
+    def row(u):
+        return (u, "api.binance.com", 1, 600)
+
+    b1 = [row("https://API.binance.com:443/a?x=1#f"), row("https://api.binance.com/b")]
+    b2 = [
+        row("https://api.binance.com/a?x=1"),  # canonical dup of b1[0]
+        row("https://api.binance.com/c"),
+        row("https://api.binance.com/c"),  # in-batch dup
+    ]
+    d = tmp_path / "urls"
+    d.mkdir()
+    spark.createDataFrame(b1, FRONTIER_URLS_DDL).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(b2, FRONTIER_URLS_DDL).coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+
+    src = (
+        spark.readStream.schema(FRONTIER_URLS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    q = (
+        frontier_seen_stream(src)
+        .writeStream.format("memory")
+        .queryName("seen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["rank_bucket"], r["url_hash"], r["canonical"])
+        for r in spark.sql("SELECT * FROM seen_stream").collect()
+    }
+
+    batch = spark.createDataFrame(b1 + b2, FRONTIER_URLS_DDL)
+    want = {
+        (r["rank_bucket"], r["url_hash"], r["canonical"])
+        for r in prepare_frontier(batch)
+        .select("rank_bucket", "url_hash", "canonical")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) == 3
