@@ -249,3 +249,29 @@ def frontier_seen_stream(urls: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def crawl_stream_to_docs(urls: DataFrame) -> DataFrame:
+    """End-to-end streaming crawl: URL stream -> keyed-state seen dedup ->
+    fetch (mapInPandas) -> interleaved span documents, ready for a
+    checkpointed table sink (parquet here; Iceberg in production — same
+    `writeStream.toTable` call shape).
+
+    The scheduler's (epoch, in_host_rank) are logical-batch constructs; a
+    streaming fetch derives a deterministic per-URL sequence from the url
+    hash instead, so doc_ids are stable across retries/resumes (exactly-once
+    with the file-sink commit log).
+    """
+    from crypto_msg_parser_spark.crawl.canonicalize import url_host
+    from crypto_msg_parser_spark.crawl.frontier import fetch_stub
+
+    fresh = frontier_seen_stream(urls)
+    scheduled = fresh.select(
+        url_host(F.col("canonical")).alias("host"),
+        F.lit(0).cast("long").alias("epoch"),
+        F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("long").alias(
+            "in_host_rank"
+        ),
+        "canonical",
+    )
+    return fetch_stub(scheduled)

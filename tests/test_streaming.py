@@ -237,3 +237,58 @@ def test_frontier_seen_stream_dedups_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_crawl_stream_lands_interleaved_docs(spark, tmp_path):
+    """Streaming crawl -> checkpointed parquet landing of interleaved span
+    docs: cross-batch URL dups fetched once; landed spans satisfy the
+    input_hint invariant (offsets ordered, text reassembles)."""
+    import json
+
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        crawl_stream_to_docs,
+    )
+
+    def row(u):
+        return (u, "api.binance.com", 1, 600)
+
+    b1 = [row("https://api.binance.com/a?x=1"), row("https://api.binance.com/b")]
+    b2 = [row("https://API.binance.com:443/a?x=1#f"), row("https://api.binance.com/c")]
+    d = tmp_path / "urls"
+    d.mkdir()
+    spark.createDataFrame(b1, FRONTIER_URLS_DDL).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(b2, FRONTIER_URLS_DDL).coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    src = (
+        spark.readStream.schema(FRONTIER_URLS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    q = (
+        crawl_stream_to_docs(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    docs = spark.read.parquet(out).collect()
+    assert len(docs) == 3  # canonical dup fetched once
+    for doc in docs:
+        spans = doc["spans"]
+        offsets = [s["offset"] for s in spans]
+        assert offsets == sorted(offsets)
+        body = "".join(s["text"] or "" for s in spans if s["kind"] == "text")
+        payload = json.loads(body)  # reassembled text is the fetched body
+        assert payload["host"] == "api.binance.com"
+        for s in spans:
+            if s["kind"] == "media":
+                assert s["media_ref"] and s["text"] is None
