@@ -63,12 +63,14 @@ def explode_with_count(arr_expr: Column, alias: str = "d", n_alias: str = "n_ite
     identical to exploding the raw array."""
 
     def _apply(df):
-        env = F.struct(
-            F.size(arr_expr).alias("__n"), arr_expr.alias("__items")
-        )
+        # the struct holds ONLY the parsed array: __env is a Generate
+        # output attribute, so the size() below reads materialized data —
+        # putting size(arr_expr) inside the struct would re-evaluate the
+        # whole from_json chain a second time per row
+        env = F.struct(arr_expr.alias("__items"))
         return (
             df.select("*", F.explode(F.array(env)).alias("__env"))
-            .withColumn(n_alias, F.col("__env.__n"))
+            .withColumn(n_alias, F.size("__env.__items"))
             .select("*", F.explode("__env.__items").alias(alias))
             .drop("__env")
         )
