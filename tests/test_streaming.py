@@ -292,3 +292,56 @@ def test_crawl_stream_lands_interleaved_docs(spark, tmp_path):
         for s in spans:
             if s["kind"] == "media":
                 assert s["media_ref"] and s["text"] is None
+
+
+def test_crawl_stream_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resume: stop after batch 1, deliver a new file containing
+    an already-seen URL plus a new one, restart from the SAME checkpoint —
+    the restored keyed state must suppress the re-discovered URL and the
+    sink must gain exactly one document."""
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        crawl_stream_to_docs,
+    )
+
+    def row(u):
+        return (u, "api.binance.com", 1, 600)
+
+    d = tmp_path / "urls"
+    d.mkdir()
+    spark.createDataFrame(
+        [row("https://api.binance.com/a"), row("https://api.binance.com/b")],
+        FRONTIER_URLS_DDL,
+    ).coalesce(1).write.parquet(str(d / "b1"))
+
+    out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+
+    def run_once():
+        src = (
+            spark.readStream.schema(FRONTIER_URLS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "b*"))
+        )
+        q = (
+            crawl_stream_to_docs(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    # second run: one re-discovered URL + one genuinely new
+    spark.createDataFrame(
+        [row("https://api.binance.com/a"), row("https://api.binance.com/new")],
+        FRONTIER_URLS_DDL,
+    ).coalesce(1).write.parquet(str(d / "b2"))
+    run_once()
+    docs = spark.read.parquet(out)
+    assert docs.count() == 3  # /a suppressed by RESTORED state
+    assert docs.select("doc_id").distinct().count() == 3
