@@ -223,6 +223,106 @@ def kmeans_fit(
     return cents
 
 
+# ------------------------------------------------ sign-hyperplane LSH ANN
+
+LSH_BITS = 4  # 16 buckets; at corpus scale raise to 12-16 bits so each
+# bucket holds ~corpus/2^bits vectors and the equi-join prunes accordingly
+EMB_DIM = 64
+
+
+def _lsh_planes(nbits: int = LSH_BITS, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 sign hyperplanes (classic sign-random-projection,
+    Charikar SimHash for vectors): component d of plane i is the d-th bit
+    of sha256("lsh-plane-i"). No RNG state — both the Spark expression and
+    the DuckDB oracle inline the identical literals."""
+    import hashlib
+
+    planes = []
+    for i in range(nbits):
+        h = hashlib.sha256(f"lsh-plane-{i}".encode()).digest()
+        bits = int.from_bytes(h[:8], "big")
+        planes.append([1.0 if (bits >> d) & 1 else -1.0 for d in range(dim)])
+    return planes
+
+
+_PLANES = _lsh_planes()
+# Hamming<=1 probe masks for LSH_BITS bits: the bucket itself + 1-bit flips.
+_PROBE_MASKS = [0] + [1 << i for i in range(LSH_BITS)]
+
+
+def lsh_bucket(vec_col):
+    """Bucket id = sum_i [dot(v, plane_i) >= 0] << i — pure column
+    expression, one scan, codegen'd; ±1 coefficients keep every product
+    exact in double so the sign (and thus the bucket) is engine-stable."""
+    b = F.lit(0)
+    for i, p in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in p])
+        b = b + F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ",".join(str(x) for x in p) + "]"
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_sql_plane(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+    qp AS (SELECT s.vec_id AS query_id, s.v AS qv,
+                  xor(s.bucket, m.m) AS pbucket
+           FROM sig s, (SELECT unnest({_PROBE_MASKS}) AS m) m
+           WHERE s.vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT qp.query_id, e.vec_id,
+             list_cosine_similarity(qp.qv, e.v) AS cosine
+      FROM qp JOIN sig e ON e.bucket = qp.pbucket
+                        AND e.vec_id <> qp.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="LSH-bucketed ANN: deterministic sign-hyperplane signatures, "
+    "multi-probe at Hamming<=1 by exploding the (small) query side into "
+    "its probe buckets, then an equi-join on bucket — at scale this scans "
+    "(1+bits)/2^bits of the corpus per query and shuffles only by bucket.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    probes = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS]
+    )
+    q = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("pbucket"),
+        )
+    )
+    scored = sig.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    return _topk(scored)
+
+
 @query(
     "ann_ivf_kmeans",
     oracle=None,  # iterative fit: driver does the rows-only check; exact

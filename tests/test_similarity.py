@@ -63,3 +63,30 @@ def test_kmeans_deterministic(spark):
     a = kmeans_fit(emb, k=4, iters=2)
     b = kmeans_fit(emb, k=4, iters=2)
     assert a == b
+
+
+def test_lsh_bucket_structure(spark):
+    """Sign-hyperplane buckets: in [0, 2^bits), deterministic across
+    evaluations, and the probe expansion emits exactly 1+bits buckets per
+    query (Hamming<=1 multi-probe)."""
+    from crypto_msg_parser_spark.operators.similarity import (
+        LSH_BITS,
+        _PROBE_MASKS,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    sig = emb.select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    stats = sig.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.countDistinct("bucket").alias("nb"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] < (1 << LSH_BITS)
+    assert stats["nb"] > 1  # actually partitions the corpus
+    a = {r["vec_id"]: r["bucket"] for r in sig.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in sig.collect()}
+    assert a == b  # no RNG state anywhere
+    assert len(_PROBE_MASKS) == LSH_BITS + 1
