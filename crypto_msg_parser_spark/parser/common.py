@@ -78,6 +78,40 @@ def explode_with_count(arr_expr: Column, alias: str = "d", n_alias: str = "n_ite
     return _apply
 
 
+def explode_env_with_count(
+    env_expr: Column,
+    items_field: str,
+    keep=None,
+    alias: str = "d",
+    n_alias: str = "n_items",
+):
+    """``df.transform(explode_env_with_count(env, "result", keep=...))``:
+    parse a WHOLE-message envelope exactly once, filter on its fields, and
+    fan out ``env.<items_field>`` with its element count.
+
+    This is the one-tokenization form of the channel-probe + extract +
+    nested-from_json chain (3 JSON scans per row -> 1): the envelope sits
+    behind the same Generate barrier as parsed_once, and ``keep`` runs on
+    the materialized struct — a predicate on a generator output cannot be
+    pushed below the Generate, so the parse is never re-evaluated. Rows
+    whose payload does not match the envelope schema parse to nulls
+    (PERMISSIVE) and are dropped by ``keep`` / the explode, matching the
+    raw-text probe's routing behavior."""
+
+    def _apply(df):
+        wrapped = F.struct(env_expr.alias("__e"))
+        out = df.select("*", F.explode(F.array(wrapped)).alias("__env"))
+        if keep is not None:
+            out = out.filter(keep(F.col("__env.__e")))
+        return (
+            out.withColumn(n_alias, F.size(f"__env.__e.{items_field}"))
+            .select("*", F.explode(f"__env.__e.{items_field}").alias(alias))
+            .drop("__env")
+        )
+
+    return _apply
+
+
 def quantity_triple(
     market_type: Column, price: Column, quantity: Column, contract_value: Column
 ) -> Column:

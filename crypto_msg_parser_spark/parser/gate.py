@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark import schemas
 from crypto_msg_parser_spark.parser.common import (
+    explode_env_with_count,
     explode_with_count,
     parsed_once,
     INVERSE,
@@ -222,6 +223,13 @@ _SWAP_TRADE = (
     "array<struct<size:double, id:bigint, create_time:bigint,"
     " create_time_ms:bigint, price:string, contract:string>>"
 )
+# whole-message envelope for the deriv trade path: ONE from_json replaces
+# the channel probe + $.result extract + nested from_json (3 JSON
+# tokenizations per row -> 1, the same treatment binance got). Non-trade
+# channels (result is an object, not an array) parse to a null row in
+# PERMISSIVE mode, so the post-Generate channel filter excludes them
+# exactly as the raw-text probe did.
+_SWAP_TRADE_ENV = f"struct<time:bigint, channel:string, event:string, result:{_SWAP_TRADE}>"
 
 
 def parse_trade(df: DataFrame) -> DataFrame:
@@ -302,10 +310,13 @@ def _parse_trade_spot_current(df: DataFrame) -> DataFrame:
 def _parse_trade_deriv(df: DataFrame) -> DataFrame:
     """gate_swap.rs:171-266: futures use create_time*1000, swaps
     create_time_ms; side from sign(size); quantity = |size|."""
-    arr = F.from_json(F.get_json_object("msg", "$.result"), _SWAP_TRADE)
+    env = F.from_json(F.col("msg"), _SWAP_TRADE_ENV)
     base = (
-        df.filter(_channel(F.col("msg")) == "futures.trades")
-        .transform(explode_with_count(arr))
+        df.transform(
+            explode_env_with_count(
+                env, "result", keep=lambda e: e["channel"] == "futures.trades"
+            )
+        )
         .withColumn("symbol", F.col("d.contract"))
         .withColumn("pair", normalize_pair(F.col("symbol")))
     )

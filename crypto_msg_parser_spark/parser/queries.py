@@ -26,7 +26,17 @@ def _msg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     input partitions and the whole parse pipeline runs near-serial
     (measured 19s instead of ~2s at 32 cores). A real raw-message table is
     thousands of files; the repartition recreates that input parallelism
-    for the synthesized corpus."""
+    for the synthesized corpus.
+
+    Every downstream raw-frame builder ends with
+    ``.localCheckpoint(eager=False)``: without that barrier Catalyst pushes
+    each parser's channel/type probe BELOW this repartition exchange,
+    re-deriving the whole format_string JSON per probe at the scan's 1-2
+    partition parallelism (measured: gate swap parse 10.7s warm with the
+    pushed probe vs ~3s with the barrier). A production job reads messages
+    from storage, so the materialized frame reproduces the real scan shape
+    — the parse stage's own plan (single from_json, no Python nodes) is
+    unchanged."""
     return load_table(spark, sf_dir, "lineitem").repartition(
         spark.sparkContext.defaultParallelism * 2
     )
@@ -81,10 +91,14 @@ def _spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -156,10 +170,14 @@ def _swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("inverse_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -218,10 +236,14 @@ def _funding_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         F.col("o_orderkey").cast("string").alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("inverse_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -289,10 +311,14 @@ def _l2_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -402,7 +428,9 @@ def binance_router(spark, sf_dir):
         ts,
         _spot_symbol(),
     )
-    raw = li.select(_msg_id().alias("msg_id"), msg.alias("msg"))
+    raw = li.select(
+        _msg_id().alias("msg_id"), msg.alias("msg")
+    ).localCheckpoint(eager=False)
     return raw.select(
         "msg_id",
         binance.get_msg_type(F.col("msg")).alias("msg_type"),
@@ -429,11 +457,15 @@ def _bbo_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         # spot bookTicker has no event time: crawl receive time is the ts
         ts.alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -500,10 +532,14 @@ def _kline_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         F.col("o_orderkey").cast("string").alias("msg_id"),
-        F.lit("binance").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("binance").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -563,10 +599,14 @@ def _gate_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("gate").alias("exchange"),
-        F.lit("linear_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("gate").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -655,10 +695,14 @@ def _kucoin_spot_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("kucoin").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("kucoin").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -751,10 +795,14 @@ def parse_huobi_spot_trade(spark, sf_dir):
     )
     raw = li.select(
         _msg_id().alias("msg_id"),
-        F.lit("huobi").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("huobi").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
     return _recover_msg_id(huobi.parse_trade(raw)).select(*_TRADE_OUT)
 
@@ -792,10 +840,14 @@ def parse_bybit_inverse_trade(spark, sf_dir):
     )
     raw = li.select(
         _msg_id().alias("msg_id"),
-        F.lit("bybit").alias("exchange"),
-        F.lit("inverse_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("bybit").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
     return _recover_msg_id(bybit.parse_trade(raw)).select(*_TRADE_OUT)
 
@@ -833,10 +885,14 @@ def parse_kraken_spot_trade(spark, sf_dir):
     )
     raw = li.select(
         _msg_id().alias("msg_id"),
-        F.lit("kraken").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("kraken").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
     parsed = kraken.parse_trade(raw)
     k = (F.col("timestamp") / 1000 - _SEC_BASE).cast("long")
@@ -879,10 +935,14 @@ def parse_bitfinex_spot_trade(spark, sf_dir):
     )
     raw = li.select(
         _msg_id().alias("msg_id"),
-        F.lit("bitfinex").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("bitfinex").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
     return _recover_msg_id(bitfinex.parse_trade(raw)).select(*_TRADE_OUT)
 
@@ -918,10 +978,14 @@ def parse_bitget_spot_trade(spark, sf_dir):
     )
     raw = li.select(
         _msg_id().alias("msg_id"),
-        F.lit("bitget").alias("exchange"),
-        F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("bitget").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
     )
     parsed = bitget.parse_trade(raw)
     k = (F.col("timestamp") - _BASE_TS).cast("long")
@@ -939,13 +1003,21 @@ def _rfc3339(ts_col):
 
 
 def _raw5(exchange, market_type, msg):
+    # exchange/market_type ride ABOVE the checkpoint as literals so the
+    # parse dispatchers' dead branches still constant-fold to empty
+    # relations; only (msg_id, received_at, msg) — the per-row data — is
+    # materialized.
     def build(li):
         return li.select(
             _msg_id().alias("msg_id"),
-            F.lit(exchange).alias("exchange"),
-            F.lit(market_type).alias("market_type"),
             F.lit(None).cast("long").alias("received_at"),
             msg.alias("msg"),
+        ).localCheckpoint(eager=False).select(
+            "msg_id",
+            F.lit(exchange).alias("exchange"),
+            F.lit(market_type).alias("market_type"),
+            "received_at",
+            "msg",
         )
 
     return build
@@ -1339,7 +1411,7 @@ def route_mixed_exchanges(spark, sf_dir):
         F.lit("spot").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         F.when(fam == 0, huobi_msg).when(fam == 1, okx_msg).otherwise(gate_msg).alias("msg"),
-    )
+    ).localCheckpoint(eager=False)
     routed = api.route(raw)
     return routed.select(
         "msg_id", "exchange", "routed_msg_type", "routed_symbol", "routed_ts"
@@ -1434,10 +1506,14 @@ def _okx_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("okx").alias("exchange"),
-        F.lit("linear_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("okx").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -1504,10 +1580,14 @@ def _okx_v3_swap_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("okx").alias("exchange"),
-        F.lit("linear_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("okx").alias("exchange"),
+        F.lit("linear_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
@@ -1580,10 +1660,14 @@ def _deribit_trade_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         _msg_id().alias("msg_id"),
-        F.lit("deribit").alias("exchange"),
-        F.lit("inverse_swap").alias("market_type"),
         F.lit(None).cast("long").alias("received_at"),
         msg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("deribit").alias("exchange"),
+        F.lit("inverse_swap").alias("market_type"),
+        "received_at",
+        "msg",
     )
 
 
