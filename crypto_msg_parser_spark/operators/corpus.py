@@ -115,3 +115,154 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prep(spark, sf_dir)
+
+
+# ------------------------------------------------- deterministic sampling
+
+# per-source keep rates in permille: src0 keeps 20%, each subsequent source
+# +6pp (src9 -> 74%) — the "web gets downsampled, curated sources kept"
+# shape of a pretraining mixture, with the rate a pure function of the
+# source id so both engines derive it without a side table.
+_SAMPLE_BASE_PERMILLE = 200
+_SAMPLE_STEP_PERMILLE = 60
+_SAMPLE_SALT = "#sample"
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, sample_key FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 15))::BIGINT
+               % 1000 AS sample_key,
+             {_SAMPLE_BASE_PERMILLE}
+               + {_SAMPLE_STEP_PERMILLE} * CAST(substr(source, 4) AS INT)
+               AS rate_permille
+      FROM documents)
+    WHERE sample_key < rate_permille
+    """,
+    doc="stratified deterministic sampling: keep a doc iff "
+    "stable_hash64(doc_id)%1000 < the stratum's permille rate. No RNG "
+    "state, no shuffle, reproducible across engines and re-runs (the "
+    "property a 100 TB mixture rebuild needs); rates are per-source "
+    "(stratum), the standard pretraining-mixture shape.",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT))
+    ) % 1000
+    rate = (
+        F.lit(_SAMPLE_BASE_PERMILLE)
+        + F.lit(_SAMPLE_STEP_PERMILLE) * F.substring("source", 4, 10).cast("int")
+    )
+    return (
+        docs.select("doc_id", "source", key.alias("sample_key"), rate.alias("_r"))
+        .filter(F.col("sample_key") < F.col("_r"))
+        .drop("_r")
+    )
+
+
+# --------------------------------------------- benchmark decontamination
+
+_BENCH_SALT = "#bench"
+_BENCH_MOD = 50  # ~2% of docs play the held-out benchmark set
+DECON_MIN_FRAC = 0.1  # flag a training doc when >=10% of its distinct
+# trigrams appear in one benchmark doc (calibrated to the synthetic
+# corpus: exact dups score 1.0, template siblings 0.1-0.2, noise <0.1)
+
+
+def _trigrams(words_col):
+    """Distinct word-trigram shingles via two shifted zips (same
+    null-pad-and-filter shape as dedup._bigrams; no sequence() because
+    F.sequence(0, n-3) runs DESCENDING when n < 3)."""
+    s1 = F.slice(words_col, 2, F.greatest(F.size(words_col) - 1, F.lit(0)))
+    s2 = F.slice(words_col, 3, F.greatest(F.size(words_col) - 2, F.lit(0)))
+    ab = F.zip_with(
+        words_col, s1, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+    )
+    abc = F.zip_with(
+        ab, s2, lambda x, c: F.when(
+            x.isNotNull() & c.isNotNull(), F.concat_ws(" ", x, c)
+        )
+    )
+    return F.array_distinct(F.filter(abc, lambda x: x.isNotNull()))
+
+
+_SQL_TRIGRAMS = (
+    "list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+    "i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
+)
+_SQL_IS_BENCH = (
+    f"('0x' || substr(md5(doc_id::VARCHAR || '{_BENCH_SALT}'), 1, 15))::BIGINT"
+    f" % {_BENCH_MOD} = 0"
+)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, {_SQL_IS_BENCH} AS is_bench, g.gh, n_grams
+      FROM (
+        SELECT doc_id, {_SQL_TRIGRAMS} AS gs,
+               len({_SQL_TRIGRAMS}) AS n_grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        UNNEST(gs) AS g(gh)),
+    hits AS (
+      SELECT c.doc_id, b.doc_id AS bench_id,
+             count(*) AS n_overlap, any_value(c.n_grams) AS n_grams
+      FROM grams c JOIN grams b ON c.gh = b.gh
+      WHERE NOT c.is_bench AND b.is_bench
+      GROUP BY c.doc_id, b.doc_id)
+    SELECT doc_id, bench_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+           n_overlap / n_grams AS overlap_frac
+    FROM hits
+    WHERE n_overlap / n_grams >= {DECON_MIN_FRAC}
+    """,
+    doc="benchmark decontamination: flag training docs sharing >= "
+    f"{DECON_MIN_FRAC:.0%} of their distinct word-trigrams with a held-out "
+    "benchmark doc. Scale shape: grams explode once, the benchmark side is "
+    "a tiny fraction (broadcast), the join is an equi-join on the shingle "
+    "— never an all-pairs document comparison.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_BENCH_SALT))
+        ) % _BENCH_MOD == 0
+    )
+    grams = docs.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        _trigrams(F.split("text", " ")).alias("gs"),
+    ).withColumn("n_grams", F.size("gs"))
+    exploded = grams.select(
+        "doc_id", "is_bench", "n_grams", F.explode("gs").alias("gh")
+    )
+    corpus = exploded.filter(~F.col("is_bench"))
+    bench = exploded.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.any_value(F.col("n_grams")).alias("_ng"),
+        )
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "bench_id",
+            "n_overlap",
+            (F.col("n_overlap") / F.col("_ng")).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= DECON_MIN_FRAC)
+    )
