@@ -179,3 +179,51 @@ def doc_fingerprint(spark, sf_dir):
         ).alias("content_fp"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix_fp"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id, g.g FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        UNNEST(gs) AS g(g)),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_bigram_count,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition filter signal: fraction of a doc's word "
+    "bigrams accounted for by its single most frequent bigram. Scale "
+    "shape: explode -> two-level aggregate keyed by (doc_id[, bigram]) — "
+    "key cardinality grows with the corpus so partitions stay bounded; "
+    "partial aggregation absorbs the per-doc fan-out map-side. The "
+    "per-row array form (count occurrences inside the array) would be "
+    "O(len^2) per document — wrong for book-length docs.",
+)
+def text_repetition_ratio(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            words, shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        (F.max("c") / F.sum("c")).alias("rep_ratio"),
+    )
