@@ -227,3 +227,47 @@ def text_repetition_ratio(spark, sf_dir):
         F.sum("c").alias("n_bigrams"),
         (F.max("c") / F.sum("c")).alias("rep_ratio"),
     )
+
+
+TOPK_NGRAMS = 20
+
+
+@query(
+    "frequent_ngrams_topk",
+    oracle=f"""
+    WITH bi AS (
+      SELECT g.g FROM (
+        SELECT list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1]) AS gs
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+        UNNEST(gs) AS g(g))
+    SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n
+    FROM bi GROUP BY g
+    ORDER BY n DESC, ngram
+    LIMIT {TOPK_NGRAMS}
+    """,
+    doc="corpus-level top-k frequent bigrams (vocabulary heavy hitters): "
+    "explode -> partial-aggregated count -> global top-k. The ORDER BY "
+    "LIMIT compiles to TakeOrderedAndProject — each partition keeps only "
+    "k rows of state and the driver merges k*partitions rows, so no full "
+    "sort materializes at any corpus size; ties break lexicographically "
+    "for cross-engine determinism.",
+)
+def frequent_ngrams_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            words, shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(TOPK_NGRAMS)
+    )
