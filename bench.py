@@ -41,6 +41,11 @@ HEADLINE = [
     "cuckoo_frontier_dedup",
     "media_decode_meta",
     "spans_interleave_roundtrip",
+    "ann_lsh_topk",
+    "corpus_sample_stratified",
+    "decontaminate_ngram_overlap",
+    "text_repetition_ratio",
+    "frequent_ngrams_topk",
 ]
 
 
