@@ -266,3 +266,67 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("overlap_frac") >= DECON_MIN_FRAC)
     )
+
+
+# -------------------------------------------------- sequence packing
+
+PACK_TOKENS = 256  # target tokens per packed training sequence
+_PACK_BUCKET = 64  # docs per prefix-sum bucket
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             sum(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    """,
+    doc="sequence packing: assign each doc its global token start-offset "
+    "in doc_id order and the fixed-size pack it starts in. The oracle's "
+    "single global cumsum window would serialize onto ONE partition in "
+    "Spark; the engine runs the distributed prefix-sum instead — local "
+    "cumsum within contiguous doc_id buckets, plus an exclusive prefix of "
+    "per-bucket totals (n_buckets rows, broadcast) — so no stage ever "
+    "sees more than a bucket of rows or the tiny offset table.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("_b"),
+    )
+    local = toks.withColumn(
+        "_local_cum",
+        F.sum("n_tok").over(
+            W.partitionBy("_b").orderBy("doc_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    # exclusive prefix of per-bucket totals: n_buckets rows — the single-
+    # partition window here is over the AGGREGATED frame, not the data
+    totals = toks.groupBy("_b").agg(F.sum("n_tok").alias("_t"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_t").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_b", "_off")
+    packed = local.join(F.broadcast(offsets), "_b")
+    start = F.col("_local_cum") + F.col("_off") - F.col("n_tok")
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_offset"),
+        F.floor(start / PACK_TOKENS).alias("pack_id"),
+    )
