@@ -176,3 +176,41 @@ def spans_media_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = synth_interleaved(load_table(spark, sf_dir, "documents"))
     return media_from_documents(inter).select("media_ref", "media_type")
+
+
+@query(
+    "spans_text_stats",
+    oracle=f"""
+    WITH {_SQL_SPANS}
+    SELECT doc_id,
+           CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_spans,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_media_spans,
+           CAST(sum(coalesce(length(stext), 0)) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN kind = 'text'
+                         THEN len(string_split(stext, ' ')) ELSE 0 END)
+                AS BIGINT) AS n_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    doc="token/char accounting over the INTERLEAVED payload (the "
+    "input_hint table), per doc: text-span and media-span counts, chars "
+    "and whitespace tokens summed over text spans only — the quantity a "
+    "mixed text+media training mixture budgets by. Explode -> single "
+    "partial-aggregated groupBy(doc_id); media spans contribute to span "
+    "counts but never to the token budget.",
+)
+def spans_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = synth_interleaved(load_table(spark, sf_dir, "documents"))
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    is_text = (F.col("s.kind") == "text").cast("long")
+    return ex.groupBy("doc_id").agg(
+        F.sum(is_text).alias("n_text_spans"),
+        F.sum((F.col("s.kind") == "media").cast("long")).alias("n_media_spans"),
+        F.sum(F.coalesce(F.length("s.text"), F.lit(0))).alias("n_chars"),
+        F.sum(
+            F.when(
+                F.col("s.kind") == "text", F.size(F.split("s.text", " "))
+            ).otherwise(0)
+        ).alias("n_tokens"),
+    )

@@ -169,6 +169,40 @@ def extract_timestamp(exchange: Column, msg: Column) -> Column:
     return _route_col("extract_timestamp", exchange, msg)
 
 
+def _route_struct(exchange: Column, msg: Column) -> Column:
+    """ONE 20-exchange ladder producing the whole routing triple as a
+    struct, instead of three parallel ladders: the exchange match and the
+    per-arm json probes are emitted once, cutting the generated code and
+    per-row work to a third. A module missing one of the three functions
+    contributes that ladder's default inside its arm (msg_type 'other',
+    symbol/ts NULL — lib.rs:327 semantics), identical to the per-column
+    ladders skipping the arm."""
+    expr = F.struct(
+        F.lit("other").alias("routed_msg_type"),
+        F.lit(None).cast("string").alias("routed_symbol"),
+        F.lit(None).cast("long").alias("routed_ts"),
+    )
+    for name, mod in _MODULES.items():
+        if name in ("okex", "mxc"):
+            continue
+        mt = getattr(mod, "get_msg_type", None)
+        sym = getattr(mod, "extract_symbol", None)
+        ts = getattr(mod, "extract_timestamp", None)
+        if mt is None and sym is None and ts is None:
+            continue
+        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(name, [])
+        match = exchange.isin(name, *aliases)
+        arm = F.struct(
+            (mt(msg) if mt else F.lit("other")).alias("routed_msg_type"),
+            (sym(msg) if sym else F.lit(None).cast("string")).alias(
+                "routed_symbol"
+            ),
+            (ts(msg) if ts else F.lit(None).cast("long")).alias("routed_ts"),
+        )
+        expr = F.when(match, arm).otherwise(expr)
+    return expr
+
+
 def route(df: DataFrame) -> DataFrame:
     """Tag a raw-message table with (msg_type, symbol, timestamp) — the
     pre-parse classifier the crawler shards on (SURVEY §3 EP3). This is the
@@ -180,12 +214,21 @@ def route(df: DataFrame) -> DataFrame:
     steady-state but costs ~40s of one-time Catalyst analysis + codegen;
     the union-of-filtered-branches alternative compiles fast but re-scans
     the input once per exchange (~30k msgs/s steady). At 100 TB the
-    one-time compile amortizes to nothing and the single-pass ladder wins,
-    so that is the shape used here; per-exchange sub-pipelines remain
-    available directly on the modules for partition-pruned inputs."""
-    return df.select(
-        "*",
-        get_msg_type(F.col("exchange"), F.col("msg")).alias("routed_msg_type"),
-        extract_symbol(F.col("exchange"), F.col("msg")).alias("routed_symbol"),
-        extract_timestamp(F.col("exchange"), F.col("msg")).alias("routed_ts"),
+    one-time compile amortizes to nothing and the single-pass ladder wins.
+    The triple is computed as ONE fused struct ladder pinned behind a
+    Generate barrier (parsed_once): three parallel column ladders tripled
+    the generated code past HotSpot's JIT method limit and the stage ran
+    INTERPRETED — same 600k rows swung 2s/20s run-to-run; the fused form
+    is a third the code and evaluates the exchange match once per row.
+    Per-exchange sub-pipelines remain available directly on the modules
+    for partition-pruned inputs."""
+    from crypto_msg_parser_spark.parser.common import parsed_once
+
+    triple = _route_struct(F.col("exchange"), F.col("msg"))
+    cols = df.columns
+    return df.transform(parsed_once(triple, alias="_r")).select(
+        *cols,
+        F.col("_r.routed_msg_type").alias("routed_msg_type"),
+        F.col("_r.routed_symbol").alias("routed_symbol"),
+        F.col("_r.routed_ts").alias("routed_ts"),
     )

@@ -26,6 +26,12 @@ SparkQueryFn = Callable[[SparkSession, str], DataFrame]
 _REQUIRED_CONFS = {
     "spark.sql.caseSensitive": "true",
     "spark.sql.session.timeZone": "UTC",
+    # deactivate whole-stage codegen for subtrees whose generated method
+    # exceeds HotSpot's 8000-byte JIT limit (they would run interpreted,
+    # ~10x slower — the 20-exchange routing ladder hits this); everything
+    # JIT-able keeps codegen. Runtime-settable SQL conf, safe on a host
+    # session.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
