@@ -88,3 +88,15 @@ def test_seen_set_anti_join_is_exchange_free(spark):
     assert "hashpartitioning(rank_bucket" in plan.lower() or plan.count(
         "Exchange"
     ) <= plan.count("REPARTITION") + 2
+
+
+def test_route_ladder_single_generate_barrier(spark):
+    """The fused routing triple: ONE struct ladder behind ONE Generate
+    barrier (three parallel column ladders re-evaluated the match and blew
+    HotSpot's JIT method limit), and no Python evaluation anywhere."""
+    plan = _plan(spark, "route_mixed_exchanges")
+    assert plan.count("Generate explode") == 1, plan.count("Generate explode")
+    assert "BatchEvalPython" not in plan
+    # the session conf that keeps oversized codegen subtrees from running
+    # interpreted-by-JIT-refusal must be applied by the query wrapper
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
