@@ -271,3 +271,72 @@ def frequent_ngrams_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "ngram")
         .limit(TOPK_NGRAMS)
     )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words, t.term
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(term)),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c, any_value(n_words) AS n_words
+      FROM toks GROUP BY doc_id, term),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.c AS DOUBLE) / tf.n_words)
+               * (CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= {TFIDF_TOP_TERMS}
+    """,
+    doc="per-doc top-k TF-IDF terms. IDF is the rational N/df (not ln): "
+    "libm log is not bit-identical across engines, while IEEE "
+    "divide/multiply is — so the oracle matches exactly and the ranking "
+    "is engine-stable. Scale shape: tokens explode once; term "
+    "frequencies and document frequencies are two partial-aggregated "
+    "groupBys; the IDF table equi-joins on term (AQE broadcasts it while "
+    "it fits, falls back to a hash join at web-scale vocabularies); "
+    "top-k is a per-doc window.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.any_value("n_words").alias("n_words")
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("c").cast("double") / F.col("n_words"))
+                * (F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
