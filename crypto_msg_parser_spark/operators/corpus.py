@@ -120,11 +120,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- deterministic sampling
 
 # per-source keep rates in permille: src0 keeps 20%, each subsequent source
-# +6pp (src9 -> 74%) — the "web gets downsampled, curated sources kept"
-# shape of a pretraining mixture, with the rate a pure function of the
-# source id so both engines derive it without a side table.
+# +4pp (the table has 20 sources, so src19 -> 96%, never >= 100%) — the
+# "web gets downsampled, curated sources kept" shape of a pretraining
+# mixture, with the rate a pure function of the source id so both engines
+# derive it without a side table.
 _SAMPLE_BASE_PERMILLE = 200
-_SAMPLE_STEP_PERMILLE = 60
+_SAMPLE_STEP_PERMILLE = 40
 _SAMPLE_SALT = "#sample"
 
 
@@ -135,9 +136,9 @@ _SAMPLE_SALT = "#sample"
       SELECT doc_id, source,
              ('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 15))::BIGINT
                % 1000 AS sample_key,
-             {_SAMPLE_BASE_PERMILLE}
-               + {_SAMPLE_STEP_PERMILLE} * CAST(substr(source, 4) AS INT)
-               AS rate_permille
+             least({_SAMPLE_BASE_PERMILLE}
+               + {_SAMPLE_STEP_PERMILLE} * CAST(substr(source, 4) AS INT),
+               999) AS rate_permille
       FROM documents)
     WHERE sample_key < rate_permille
     """,
@@ -154,9 +155,13 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = stable_hash64(
         F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT))
     ) % 1000
-    rate = (
+    # clamp below 1000 so no stratum silently degenerates to keep-all if
+    # the source cardinality ever grows past the calibrated range
+    rate = F.least(
         F.lit(_SAMPLE_BASE_PERMILLE)
-        + F.lit(_SAMPLE_STEP_PERMILLE) * F.substring("source", 4, 10).cast("int")
+        + F.lit(_SAMPLE_STEP_PERMILLE)
+        * F.substring("source", 4, 10).cast("int"),
+        F.lit(999),
     )
     return (
         docs.select("doc_id", "source", key.alias("sample_key"), rate.alias("_r"))

@@ -30,6 +30,20 @@ def _words(col):
     return F.split(col, " ")
 
 
+def _bigrams_all(words):
+    """ALL word bigrams, order-preserving, duplicates kept (the distinct
+    variant lives in dedup._bigrams): zip the word array against itself
+    shifted by one; the null pad from the shorter side is filtered."""
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(
+            words, shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 @query(
     "text_quality_score",
     oracle=f"""
@@ -209,14 +223,7 @@ def doc_fingerprint(spark, sf_dir):
 def text_repetition_ratio(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
-    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
-    bigrams = F.filter(
-        F.zip_with(
-            words, shifted,
-            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    bigrams = _bigrams_all(words)
     counts = (
         docs.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
@@ -256,14 +263,7 @@ TOPK_NGRAMS = 20
 def frequent_ngrams_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
-    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
-    bigrams = F.filter(
-        F.zip_with(
-            words, shifted,
-            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    bigrams = _bigrams_all(words)
     return (
         docs.select(F.explode(bigrams).alias("ngram"))
         .groupBy("ngram")
@@ -321,18 +321,17 @@ def tfidf_top_terms(spark, sf_dir):
         F.count(F.lit(1)).alias("c"), F.any_value("n_words").alias("n_words")
     )
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(idf, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("c").cast("double") / F.col("n_words"))
-                * (F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("tfidf"),
-        )
+    # corpus size as a plan literal: one tiny count action at build time
+    # beats carrying a 1-row cross join (BroadcastNestedLoopJoin) through
+    # the plan — same precedent as the k-means centroid literals
+    n_docs = float(docs.count())
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (
+            (F.col("c").cast("double") / F.col("n_words"))
+            * (F.lit(n_docs) / F.col("df"))
+        ).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

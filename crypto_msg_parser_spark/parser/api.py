@@ -73,18 +73,31 @@ _MODULES = {
 IMPLEMENTED = sorted(set(_MODULES) - {"okex", "mxc"})
 PLANNED: list[str] = []  # all 20 reference dispatch arms implemented
 
+# alias rows in _MODULES (skipped when iterating arms; folded into the
+# canonical arm's match set instead). lib.rs:35,41 semantics.
+_ALIAS_KEYS = ("okex", "mxc")
+_ALIASES = {"okx": ["okex"], "mexc": ["mxc"]}
+
+
+def _dispatch_arms():
+    """Yield (exchange, accepted_names, module) once per canonical arm —
+    the single place the alias map and skip set are consulted, so every
+    dispatcher (union router, column ladder, struct ladder) matches the
+    same name set."""
+    for exchange, mod in _MODULES.items():
+        if exchange in _ALIAS_KEYS:
+            continue
+        yield exchange, [exchange, *_ALIASES.get(exchange, [])], mod
+
 
 def _dispatch(df: DataFrame, fn_name: str) -> DataFrame:
     """Route by the exchange column to each module's parser and union."""
     parts: list[DataFrame] = []
-    for exchange, mod in _MODULES.items():
-        if exchange in ("okex", "mxc"):
-            continue
+    for _, names, mod in _dispatch_arms():
         fn: Callable[[DataFrame], DataFrame] | None = getattr(mod, fn_name, None)
         if fn is None:
             continue
-        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(exchange, [])
-        sub = df.filter(F.col("exchange").isin(exchange, *aliases))
+        sub = df.filter(F.col("exchange").isin(*names))
         parts.append(fn(sub))
     if not parts:
         raise ValueError(f"no exchange implements {fn_name}")
@@ -142,15 +155,11 @@ def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
         expr = F.lit(None).cast(
             "string" if fn_name != "extract_timestamp" else "long"
         )
-    for name, mod in _MODULES.items():
-        if name in ("okex", "mxc"):
-            continue
+    for _, names, mod in _dispatch_arms():
         fn = getattr(mod, fn_name, None)
         if fn is None:
             continue
-        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(name, [])
-        match = exchange.isin(name, *aliases)
-        expr = F.when(match, fn(msg)).otherwise(expr)
+        expr = F.when(exchange.isin(*names), fn(msg)).otherwise(expr)
     return expr
 
 
@@ -182,16 +191,13 @@ def _route_struct(exchange: Column, msg: Column) -> Column:
         F.lit(None).cast("string").alias("routed_symbol"),
         F.lit(None).cast("long").alias("routed_ts"),
     )
-    for name, mod in _MODULES.items():
-        if name in ("okex", "mxc"):
-            continue
+    for _, names, mod in _dispatch_arms():
         mt = getattr(mod, "get_msg_type", None)
         sym = getattr(mod, "extract_symbol", None)
         ts = getattr(mod, "extract_timestamp", None)
         if mt is None and sym is None and ts is None:
             continue
-        aliases = {"okx": ["okex"], "mexc": ["mxc"]}.get(name, [])
-        match = exchange.isin(name, *aliases)
+        match = exchange.isin(*names)
         arm = F.struct(
             (mt(msg) if mt else F.lit("other")).alias("routed_msg_type"),
             (sym(msg) if sym else F.lit(None).cast("string")).alias(
