@@ -219,6 +219,9 @@ _SPOT_TRADE = (
     "struct<id:bigint, create_time:bigint, create_time_ms:string,"
     " side:string, currency_pair:string, amount:string, price:string>"
 )
+_SPOT_TRADE_ENV = (
+    f"struct<time:bigint, channel:string, event:string, result:{_SPOT_TRADE}>"
+)
 _SWAP_TRADE = (
     "array<struct<size:double, id:bigint, create_time:bigint,"
     " create_time_ms:bigint, price:string, contract:string>>"
@@ -280,11 +283,17 @@ def _parse_trade_spot_legacy(df: DataFrame) -> DataFrame:
 
 def _parse_trade_spot_current(df: DataFrame) -> DataFrame:
     """gate_spot_current.rs:135-167: single result object, channel
-    spot.trades; ts = create_time_ms (string fractional ms, truncated)."""
-    d = F.from_json(F.get_json_object("msg", "$.result"), _SPOT_TRADE)
+    spot.trades; ts = create_time_ms (string fractional ms, truncated).
+
+    ONE whole-message from_json (channel probe + $.result extract +
+    nested parse was 3 tokenizations per row — same treatment as the
+    deriv path); non-trade channels parse to null fields in PERMISSIVE
+    mode and are dropped by the post-barrier filters."""
+    env = F.from_json(F.col("msg"), _SPOT_TRADE_ENV)
     base = (
-        df.filter(_channel(F.col("msg")) == "spot.trades")
-        .transform(parsed_once(d))
+        df.transform(parsed_once(env, alias="_e"))
+        .filter(F.col("_e.channel") == "spot.trades")
+        .withColumn("d", F.col("_e.result"))
         .filter(F.col("d.currency_pair").isNotNull())
     )
     price = F.col("d.price").cast("double")
