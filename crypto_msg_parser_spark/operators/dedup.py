@@ -590,3 +590,112 @@ def neardup_jaccard_blocked(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# -------------------------------------------- near-dup cluster components
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Deterministic distributed connected components over an undirected
+    edge list: min-label propagation (label(v) <- min over {v} U N(v) of
+    labels) iterated to fixpoint. Each round is ONE equi-join + ONE
+    partial-aggregated groupBy — the standard Spark CC shape (GraphX'
+    small-star/large-star converges in fewer rounds but the label-prop
+    round is strictly cheaper and dup clusters have tiny diameters). The
+    per-round localCheckpoint truncates the exponentially nesting plan;
+    at 100 TB use a persistent checkpoint so executor loss doesn't
+    recompute the chain. Convergence is tested on sum(label), which is
+    strictly decreasing until fixpoint because labels only move down."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+_SQL_ND_PAIRS = f"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    nd AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(wa.wh, x -> list_contains(wb.wh, x))) /
+               (len(wa.wh) + len(wb.wh)
+                - len(list_filter(wa.wh, x -> list_contains(wb.wh, x)))) AS jaccard
+        FROM cand c
+        JOIN hashed wa ON wa.doc_id = c.doc_a
+        JOIN hashed wb ON wb.doc_id = c.doc_b)
+      WHERE jaccard >= {JACCARD_THRESHOLD})"""
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE reps AS ({_SQL_REPS}),
+    hashed AS ({_SQL_HASHED}),
+    sig AS ({_SQL_SIG}),
+    bands AS ({_SQL_BANDS}),
+    {_SQL_ND_PAIRS},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM nd
+          UNION ALL SELECT doc_b, doc_a FROM nd),
+    reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, min(b) AS component_id
+      FROM (SELECT a, b FROM reach
+            UNION ALL SELECT DISTINCT a, a FROM e)
+      GROUP BY a)
+    SELECT c.doc_id, c.component_id, CAST(s.n AS BIGINT) AS n_members
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS n FROM comp
+          GROUP BY component_id) s USING (component_id)
+    """,
+    doc="near-dup CLUSTERS: connected components over the MinHash-LSH "
+    "pair graph by distributed min-label propagation (one join + one "
+    "aggregate per round, checkpointed, converges in diameter rounds — "
+    "dup clusters are shallow). The survivor policy 'keep min doc_id per "
+    "component' falls out of the component id. Oracle: transitive "
+    "closure by recursive CTE — O(V*E) and driver-side, exactly what the "
+    "distributed form avoids.",
+)
+def neardup_components(spark, sf_dir):
+    pairs = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return comp.join(F.broadcast(sizes), "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )
