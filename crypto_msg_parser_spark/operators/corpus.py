@@ -279,34 +279,14 @@ PACK_TOKENS = 256  # target tokens per packed training sequence
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-@query(
-    "corpus_pack_sequences",
-    oracle=f"""
-    SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_offset,
-           CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
-    FROM (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             sum(len(string_split(text, ' ')))
-               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-      FROM documents)
-    """,
-    doc="sequence packing: assign each doc its global token start-offset "
-    "in doc_id order and the fixed-size pack it starts in. The oracle's "
-    "single global cumsum window would serialize onto ONE partition in "
-    "Spark; the engine runs the distributed prefix-sum instead — local "
-    "cumsum within contiguous doc_id buckets, plus an exclusive prefix of "
-    "per-bucket totals (n_buckets rows, broadcast) — so no stage ever "
-    "sees more than a bucket of rows or the tiny offset table.",
-)
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(toks: DataFrame) -> DataFrame:
+    """Distributed prefix-sum packing over a (doc_id, n_tok, ...) frame:
+    local cumsum within contiguous doc_id buckets + a broadcast exclusive
+    prefix of per-bucket totals; adds start_offset and pack_id, preserves
+    the other input columns."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("_b"),
-    )
+    toks = toks.withColumn("_b", F.floor(F.col("doc_id") / _PACK_BUCKET))
     local = toks.withColumn(
         "_local_cum",
         F.sum("n_tok").over(
@@ -329,9 +309,214 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_b", "_off")
     packed = local.join(F.broadcast(offsets), "_b")
     start = F.col("_local_cum") + F.col("_off") - F.col("n_tok")
-    return packed.select(
+    return (
+        packed.withColumn("start_offset", start)
+        .withColumn("pack_id", F.floor(start / PACK_TOKENS))
+        .drop("_b", "_local_cum", "_off")
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             sum(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    """,
+    doc="sequence packing: assign each doc its global token start-offset "
+    "in doc_id order and the fixed-size pack it starts in. The oracle's "
+    "single global cumsum window would serialize onto ONE partition in "
+    "Spark; the engine runs the distributed prefix-sum instead — local "
+    "cumsum within contiguous doc_id buckets, plus an exclusive prefix of "
+    "per-bucket totals (n_buckets rows, broadcast) — so no stage ever "
+    "sees more than a bucket of rows or the tiny offset table.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
         "doc_id",
-        "n_tok",
-        start.alias("start_offset"),
-        F.floor(start / PACK_TOKENS).alias("pack_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(toks).select(
+        "doc_id", "n_tok", "start_offset", "pack_id"
+    )
+
+
+# ------------------------------------------ full composed pipeline
+
+_SQL_QUALITY = (
+    "(len(list_distinct(string_split(text, ' ')))"
+    " / len(string_split(text, ' '))"
+    " + (1.0 - len(list_filter(string_split(text, ' '),"
+    f"       w -> list_contains({STOPWORDS!r}, w)))"
+    "     / len(string_split(text, ' ')))) / 2.0"
+)
+_SQL_SAMPLE_KEY = (
+    f"('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 15))::BIGINT"
+    " % 1000"
+)
+_SQL_RATE = (
+    f"least({_SAMPLE_BASE_PERMILLE}"
+    f" + {_SAMPLE_STEP_PERMILLE} * CAST(substr(source, 4) AS INT), 999)"
+)
+
+
+@query(
+    "corpus_prep_full",
+    oracle=f"""
+    WITH reps AS ({_SQL_REPS}),
+    hashed AS ({_SQL_HASHED}),
+    sig AS ({_SQL_SIG}),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    nd AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(wa.wh, x -> list_contains(wb.wh, x))) /
+               (len(wa.wh) + len(wb.wh)
+                - len(list_filter(wa.wh, x -> list_contains(wb.wh, x)))) AS jaccard
+        FROM cand c
+        JOIN hashed wa ON wa.doc_id = c.doc_a
+        JOIN hashed wb ON wb.doc_id = c.doc_b)
+      WHERE jaccard >= {JACCARD_THRESHOLD}),
+    kept AS (
+      SELECT doc_id, text FROM reps
+      WHERE doc_id NOT IN (SELECT doc_b FROM nd)),
+    gated AS (
+      SELECT doc_id, text, quality_score, n_tok FROM (
+        SELECT doc_id, text, {_SQL_QUALITY} AS quality_score,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM kept)
+      WHERE quality_score >= {QUALITY_MIN}),
+    bgrams AS (
+      SELECT g.gh FROM (
+        SELECT doc_id, {_SQL_TRIGRAMS} AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE {_SQL_IS_BENCH}) b, UNNEST(gs) AS g(gh)),
+    ggrams AS (
+      SELECT doc_id, g.gh, n_grams FROM (
+        SELECT doc_id, {_SQL_TRIGRAMS} AS gs,
+               len({_SQL_TRIGRAMS}) AS n_grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM gated)),
+        UNNEST(gs) AS g(gh)),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT g.doc_id, count(DISTINCT g.gh) AS o,
+               any_value(g.n_grams) AS ng
+        FROM ggrams g JOIN (SELECT DISTINCT gh FROM bgrams) b
+          ON g.gh = b.gh
+        GROUP BY g.doc_id)
+      WHERE o / ng >= {DECON_MIN_FRAC}),
+    clean AS (
+      SELECT doc_id, quality_score, n_tok FROM gated
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        AND NOT ({_SQL_IS_BENCH})),
+    sampled AS (
+      SELECT c.doc_id, d.source, c.quality_score, c.n_tok
+      FROM clean c JOIN documents d USING (doc_id)
+      WHERE {_SQL_SAMPLE_KEY} < {_SQL_RATE}),
+    packed AS (
+      SELECT doc_id, source, quality_score, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM sampled)
+    SELECT doc_id, source, quality_score, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM packed
+    """,
+    doc="the FULL composed pretraining-corpus pipeline as one declarative "
+    "plan: exact dedup -> LSH near-dup drop -> lexical quality gate -> "
+    "benchmark decontamination (docs sharing >=10% of their trigrams "
+    "with ANY held-out doc are dropped, as are the held-out docs "
+    "themselves) -> stratified deterministic sampling -> sequence "
+    "packing by distributed prefix-sum. Every stage reuses the "
+    "standalone operators' scale shapes; the composition adds only "
+    "doc_id equi-joins against drop sets that are tiny relative to the "
+    "corpus (AQE broadcasts them).",
+)
+def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    drop_nd = (
+        neardup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = reps.join(drop_nd, "doc_id", "left_anti")
+
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    ttr = F.size(F.array_distinct(words)) / n_words
+    swr = (
+        F.size(F.filter(words, lambda w: F.array_contains(F.lit(STOPWORDS), w)))
+        / n_words
+    )
+    quality = (ttr + (F.lit(1.0) - swr)) / F.lit(2.0)
+    gated = kept.select(
+        "doc_id",
+        "text",
+        quality.alias("quality_score"),
+        n_words.cast("long").alias("n_tok"),
+    ).filter(F.col("quality_score") >= QUALITY_MIN)
+
+    is_bench = (
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_BENCH_SALT))
+        ) % _BENCH_MOD == 0
+    )
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(_trigrams(F.split("text", " "))).alias("gh"))
+        .distinct()
+    )
+    ggrams = gated.select(
+        "doc_id",
+        F.size(_trigrams(F.split("text", " "))).alias("n_grams"),
+        F.explode(_trigrams(F.split("text", " "))).alias("gh"),
+    )
+    contam = (
+        ggrams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("_o"),
+            F.any_value("n_grams").alias("_ng"),
+        )
+        .filter(F.col("_o") / F.col("_ng") >= DECON_MIN_FRAC)
+        .select("doc_id")
+    )
+    clean = (
+        gated.join(contam, "doc_id", "left_anti")
+        .filter(~is_bench)
+        .select("doc_id", "quality_score", "n_tok")
+    )
+
+    key = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT))
+    ) % 1000
+    rate = F.least(
+        F.lit(_SAMPLE_BASE_PERMILLE)
+        + F.lit(_SAMPLE_STEP_PERMILLE)
+        * F.substring("source", 4, 10).cast("int"),
+        F.lit(999),
+    )
+    sampled = (
+        clean.join(docs.select("doc_id", "source"), "doc_id")
+        .filter(key < rate)
+        .select("doc_id", "source", "quality_score", "n_tok")
+    )
+    return pack_sequences(sampled).select(
+        "doc_id", "source", "quality_score", "n_tok", "start_offset", "pack_id"
     )
