@@ -46,6 +46,7 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "text_repetition_ratio",
     "frequent_ngrams_topk",
+    "corpus_prep_full",
 ]
 
 
