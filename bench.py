@@ -47,6 +47,11 @@ HEADLINE = [
     "text_repetition_ratio",
     "frequent_ngrams_topk",
     "corpus_prep_full",
+    # r03: the two operators whose r02 scale-killers were fixed (two-level
+    # pack prefix-sum; components without the size broadcast) are measured
+    # explicitly so the fixes show up in BENCH deltas
+    "corpus_pack_sequences",
+    "neardup_components",
 ]
 
 

@@ -76,8 +76,8 @@ _SQL_FRONTIER_URL = (
 )
 
 
-def _host():
-    k = F.col("p_partkey") % 10
+def _host(key=None):
+    k = (F.col("p_partkey") if key is None else key) % 10
     return (
         F.when(k <= 5, "api.binance.com")
         .when(k <= 7, "www.okx.com")
@@ -258,6 +258,167 @@ def robots_gate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_allowed"),
         F.min("rate_budget_per_min").cast("int").alias("effective_budget"),
     )
+
+
+# ------------------------------------------ checkpoint / resume row
+#
+# The north rule requires the crawl to be "resumable from checkpoint with
+# per-partition lineage + metrics". FrontierCheckpoint (crawl/frontier.py)
+# is pytest-covered; this query makes the full cycle a driver CORRECTNESS
+# row: epoch 1 crawls the even half of the frontier, commits a parquet
+# snapshot (seen set + lineage manifest + epoch metrics), the state is
+# RESTORED from disk, and epoch 2 runs over the WHOLE frontier — the
+# restored seen set must suppress every epoch-1 URL, so only the odd half
+# fetches. Output folds in the manifest's committed seen_rows counter, so
+# the manifest round-trip itself is oracle-checked.
+
+
+@query(
+    "frontier_checkpoint_resume",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS canonical, {_SQL_HOST} AS host, p_partkey
+      FROM part)
+    SELECT host,
+           count(*) AS n_new_epoch2,
+           (SELECT count(*) FROM f WHERE p_partkey % 2 = 0)
+             AS n_seen_at_checkpoint,
+           (SELECT count(*) FROM f) AS n_seen_after_resume
+    FROM f
+    WHERE p_partkey % 2 = 1
+    GROUP BY host
+    """,
+    doc="checkpoint/resume cycle as one verifiable row: epoch-1 crawl -> "
+    "parquet snapshot commit (seen set + per-partition lineage manifest + "
+    "epoch metrics) -> restore from disk -> epoch-2 crawl of the full "
+    "frontier dedup'd against the RESTORED seen set. n_new_epoch2 proves "
+    "the restored state suppresses epoch-1 URLs; n_seen_at_checkpoint "
+    "comes out of the manifest JSON, proving the snapshot metadata "
+    "round-trips; n_seen_after_resume counts the merged state.",
+)
+def frontier_checkpoint_resume(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from crypto_msg_parser_spark.crawl.frontier import (
+        FrontierCheckpoint,
+        crawl_step,
+        epoch_metrics,
+    )
+
+    full = _frontier_df(spark, sf_dir)
+    empty_seen = spark.createDataFrame([], "url_hash bigint, canonical string")
+
+    root = tempfile.mkdtemp(prefix="frontier_ckpt_")
+    try:
+        ckpt = FrontierCheckpoint(root)
+        # epoch 1: even half
+        docs1, new1, seen1 = crawl_step(
+            spark, full.filter(F.col("p_partkey") % 2 == 0), empty_seen
+        )
+        manifest = ckpt.commit(
+            spark, "epoch1", full, seen1, metrics=epoch_metrics(docs1)
+        )
+        # fresh read path: restore the committed state from disk
+        _, seen_restored, m2 = ckpt.restore(spark, "epoch1")
+        assert m2["seen_rows"] == manifest["seen_rows"]
+        # epoch 2: whole frontier against the restored seen set
+        _docs2, new2, seen2 = crawl_step(spark, full, seen_restored)
+        n_after = seen2.count()  # bounded scalar, resume-progress metric
+        out = (
+            new2.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_new_epoch2"))
+            .withColumn(
+                "n_seen_at_checkpoint",
+                F.lit(int(m2["seen_rows"])).cast("bigint"),
+            )
+            .withColumn(
+                "n_seen_after_resume", F.lit(int(n_after)).cast("bigint")
+            )
+        )
+        # materialize before the temp snapshot dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------- streaming batch-twin row
+#
+# The streaming URL-seen keyed state (streaming/jobs.frontier_seen_stream)
+# was pytest-only through round 2; this query replays the REAL streaming
+# path — file-source micro-batches -> applyInPandasWithState per
+# rank_bucket -> memory sink — and returns its materialized output, so the
+# batch/stream parity claim becomes a driver CORRECTNESS row. URLs are
+# synthesized with heavy duplication (p_partkey % 211) both within and
+# across micro-batches (maxFilesPerTrigger splits the 8 source files into
+# several batches), so the exactly-once-per-canonical contract is what the
+# oracle checks, not a trivial distinct.
+
+_SQL_DUP_URL = _SQL_FRONTIER_URL.replace("p_partkey", "(p_partkey % 211)")
+
+
+@query(
+    "frontier_seen_batch_replay",
+    oracle=f"""
+    SELECT canonical,
+           ('0x' || substr(md5(canonical), 1, 15))::BIGINT AS url_hash
+    FROM (SELECT DISTINCT {_SQL_DUP_URL} AS canonical FROM part)
+    """,
+    doc="STREAMING URL-seen set, driver-checked: the applyInPandasWithState "
+    "keyed-state dedup (bucket = top hash bits, same layout as the batch "
+    "seen-set) drained under Trigger.availableNow over multi-file "
+    "micro-batches of a duplicate-heavy URL stream; emits each canonical "
+    "URL exactly once across batches. Oracle = the distinct canonical set "
+    "— batch/stream parity as a CORRECTNESS row (SURVEY §2.9).",
+)
+def frontier_seen_batch_replay(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        frontier_seen_stream,
+    )
+
+    k = F.col("p_partkey") % 211
+    p = load_table(spark, sf_dir, "part")
+    urls = p.select(
+        F.concat(
+            F.lit("https://"),
+            _host(k),
+            F.lit("/api/symbols?id="),
+            k.cast("string"),
+        ).alias("url"),
+        _host(k).alias("host"),
+        (k % 3).cast("int").alias("priority"),
+        F.lit(50).cast("int").alias("rate_budget_per_min"),
+    )
+    src = tempfile.mkdtemp(prefix="seen_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="seen_stream_ckpt_")
+    name = f"seen_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        urls.repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(FRONTIER_URLS_DDL)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        q = (
+            frontier_seen_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.sql(f"SELECT canonical, url_hash FROM {name}")
 
 
 @query(

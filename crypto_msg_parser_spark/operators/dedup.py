@@ -32,6 +32,18 @@ SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.6
 
 
+def _barrier(df: DataFrame, checkpoint_dir: str | None, eager: bool = True):
+    """Materialization barrier for iterative/multi-consumer frames:
+    localCheckpoint (executor memory — fast, lost on executor death) by
+    default, reliable df.checkpoint() into ``checkpoint_dir`` when given —
+    the 100 TB setting, where recomputing a truncated lineage on executor
+    loss would replay the whole upstream job."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _words(col):
     """Distinct word set of a document (order-irrelevant downstream)."""
     return F.array_distinct(F.split(col, " "))
@@ -266,23 +278,23 @@ _SQL_BANDS = " UNION ALL ".join(
     "(dedup_exact) — feeding them to LSH creates quadratic buckets of "
     "identical docs.",
 )
-def neardup_minhash_lsh(spark, sf_dir):
+def neardup_minhash_lsh(spark, sf_dir, checkpoint_dir: str | None = None):
     raw_docs = load_table(spark, sf_dir, "documents")
     # ONE md5 pass: representatives' shingle sets are hashed once and that
     # array feeds every consumer — all 8 minhash permutations (xor-min) AND
     # both sides of the Jaccard verify. Round 1 ran 8 separate md5 passes
     # for the signature plus a string-array intersect for the verify; this
-    # was 76% of the whole bench. localCheckpoint materializes the compact
-    # (doc_id, int-array) table; at 100 TB swap it for a persistent
-    # checkpoint (parquet/Iceberg) so executor loss doesn't recompute.
-    hashed = (
+    # was 76% of the whole bench. The barrier materializes the compact
+    # (doc_id, int-array) table; pass checkpoint_dir for the reliable
+    # variant at 100 TB so executor loss doesn't recompute.
+    hashed = _barrier(
         raw_docs.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
         .select(
             "doc_id",
             F.transform(_bigrams(F.split(F.col("text"), " ")), _hasher(0)).alias("wh"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_dir,
     )
     sig = hashed.select("doc_id", *minhash_cols(F.col("wh")))
     bands = _lsh_bands(sig)
@@ -295,11 +307,11 @@ def neardup_minhash_lsh(spark, sf_dir):
     # the materialized buckets spreads pair expansion across tasks, with
     # AQE skew-split on top.
     ids = F.sort_array(F.collect_set("doc_id")).alias("ids")
-    buckets = (
+    buckets = _barrier(
         bands.groupBy("band_idx", "band_hash")
         .agg(ids)
-        .filter(F.size("ids") > 1)
-        .localCheckpoint(eager=True)
+        .filter(F.size("ids") > 1),
+        checkpoint_dir,
     )
     a = buckets.select(
         "band_idx", "band_hash", F.explode("ids").alias("doc_a")
@@ -596,45 +608,66 @@ def neardup_jaccard_blocked(
 
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iters: int = 25,
+    max_iters: int = 25, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic distributed connected components over an undirected
     edge list: min-label propagation (label(v) <- min over {v} U N(v) of
     labels) iterated to fixpoint. Each round is ONE equi-join + ONE
     partial-aggregated groupBy — the standard Spark CC shape (GraphX'
     small-star/large-star converges in fewer rounds but the label-prop
-    round is strictly cheaper and dup clusters have tiny diameters). The
-    per-round localCheckpoint truncates the exponentially nesting plan;
-    at 100 TB use a persistent checkpoint so executor loss doesn't
-    recompute the chain. Convergence is tested on sum(label), which is
-    strictly decreasing until fixpoint because labels only move down."""
+    round is strictly cheaper and dup clusters have tiny diameters).
+
+    A per-round checkpoint truncates the exponentially nesting plan:
+    ``localCheckpoint`` by default (executor-memory blocks — lost on
+    executor death, fine single-node), or RELIABLE ``df.checkpoint()``
+    when ``checkpoint_dir`` is given (HDFS/object-store path; the 100 TB
+    setting, where an executor loss must not recompute the whole chain).
+
+    Convergence is tracked on sum(label) — strictly decreasing until
+    fixpoint because labels only move down. If ``max_iters`` rounds pass
+    without reaching fixpoint (a chain-shaped component with diameter >
+    max_iters), the labels are NOT component ids and silently returning
+    them would corrupt downstream survivor picks — raise instead."""
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        return _barrier(df, checkpoint_dir, eager=eager)
+
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    edges = _ckpt(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        eager=False,
+    )
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .withColumn("label", F.col("node")),
+        eager=False,
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
+    converged = prev is None  # empty edge list is trivially converged
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
-        labels = (
+        labels = _ckpt(
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("label").alias("label")),
+            eager=False,
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -696,6 +729,10 @@ def neardup_components(spark, sf_dir):
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return comp.join(F.broadcast(sizes), "component_id").select(
+    # NO broadcast hint: `sizes` is one row per component and components
+    # grow with the corpus, so forcing it driver-side is unbounded at
+    # 100 TB. Plain equi-join — AQE broadcasts it when (and only when) it
+    # measures small at runtime.
+    return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "n_members"
     )

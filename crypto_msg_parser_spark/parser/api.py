@@ -147,7 +147,29 @@ def parse_candlestick(df: DataFrame) -> DataFrame:
     return _dispatch(df, "parse_candlestick")
 
 
-def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
+# The reference's top-level get_msg_type sniffs ONLY these 9 exchanges and
+# returns Other for everything else (lib.rs:316-329). Several engine
+# modules carry sniffers beyond this set (bitstamp, bitfinex,
+# coinbase_pro, kucoin, mexc, dydx — useful pre-parse routing the
+# reference never exposes); by default the api-level ladder matches the
+# reference EXACTLY so routing triples are interchangeable with the
+# crate's, and the extra arms are an explicit opt-in (extended=True) or
+# direct module calls (e.g. kucoin.get_msg_type).
+REFERENCE_MSG_TYPE_ARMS = frozenset(
+    {"binance", "bitget", "bitmex", "bybit", "deribit", "ftx", "huobi",
+     "kraken", "okx"}
+)
+
+
+def _msg_type_fn(exchange_name: str, mod, extended: bool):
+    if not extended and exchange_name not in REFERENCE_MSG_TYPE_ARMS:
+        return None
+    return getattr(mod, "get_msg_type", None)
+
+
+def _route_col(
+    fn_name: str, exchange: Column, msg: Column, extended: bool = False
+) -> Column:
     if fn_name == "get_msg_type":
         # exchanges without a sniffer return Other (lib.rs:327)
         expr = F.lit("other")
@@ -155,17 +177,22 @@ def _route_col(fn_name: str, exchange: Column, msg: Column) -> Column:
         expr = F.lit(None).cast(
             "string" if fn_name != "extract_timestamp" else "long"
         )
-    for _, names, mod in _dispatch_arms():
-        fn = getattr(mod, fn_name, None)
+    for name, names, mod in _dispatch_arms():
+        if fn_name == "get_msg_type":
+            fn = _msg_type_fn(name, mod, extended)
+        else:
+            fn = getattr(mod, fn_name, None)
         if fn is None:
             continue
         expr = F.when(exchange.isin(*names), fn(msg)).otherwise(expr)
     return expr
 
 
-def get_msg_type(exchange: Column, msg: Column) -> Column:
-    """Routing triple part 1 (lib.rs:316-329)."""
-    return _route_col("get_msg_type", exchange, msg)
+def get_msg_type(exchange: Column, msg: Column, extended: bool = False) -> Column:
+    """Routing triple part 1 — strict reference parity by default: the 9
+    sniffed exchanges of lib.rs:316-329, Other for the rest. extended=True
+    additionally engages the engine's extra module sniffers."""
+    return _route_col("get_msg_type", exchange, msg, extended=extended)
 
 
 def extract_symbol(exchange: Column, msg: Column) -> Column:
@@ -178,21 +205,24 @@ def extract_timestamp(exchange: Column, msg: Column) -> Column:
     return _route_col("extract_timestamp", exchange, msg)
 
 
-def _route_struct(exchange: Column, msg: Column) -> Column:
+def _route_struct(
+    exchange: Column, msg: Column, extended: bool = False
+) -> Column:
     """ONE 20-exchange ladder producing the whole routing triple as a
     struct, instead of three parallel ladders: the exchange match and the
     per-arm json probes are emitted once, cutting the generated code and
     per-row work to a third. A module missing one of the three functions
     contributes that ladder's default inside its arm (msg_type 'other',
     symbol/ts NULL — lib.rs:327 semantics), identical to the per-column
-    ladders skipping the arm."""
+    ladders skipping the arm. The msg_type component honors the strict
+    9-exchange reference parity of get_msg_type unless extended=True."""
     expr = F.struct(
         F.lit("other").alias("routed_msg_type"),
         F.lit(None).cast("string").alias("routed_symbol"),
         F.lit(None).cast("long").alias("routed_ts"),
     )
-    for _, names, mod in _dispatch_arms():
-        mt = getattr(mod, "get_msg_type", None)
+    for name, names, mod in _dispatch_arms():
+        mt = _msg_type_fn(name, mod, extended)
         sym = getattr(mod, "extract_symbol", None)
         ts = getattr(mod, "extract_timestamp", None)
         if mt is None and sym is None and ts is None:
@@ -209,7 +239,7 @@ def _route_struct(exchange: Column, msg: Column) -> Column:
     return expr
 
 
-def route(df: DataFrame) -> DataFrame:
+def route(df: DataFrame, extended: bool = False) -> DataFrame:
     """Tag a raw-message table with (msg_type, symbol, timestamp) — the
     pre-parse classifier the crawler shards on (SURVEY §3 EP3). This is the
     one place the crawl job shuffles (by (exchange, msg_type)); everything
@@ -230,7 +260,7 @@ def route(df: DataFrame) -> DataFrame:
     for partition-pruned inputs."""
     from crypto_msg_parser_spark.parser.common import parsed_once
 
-    triple = _route_struct(F.col("exchange"), F.col("msg"))
+    triple = _route_struct(F.col("exchange"), F.col("msg"), extended=extended)
     cols = df.columns
     return df.transform(parsed_once(triple, alias="_r")).select(
         *cols,

@@ -86,7 +86,84 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Driver-sample priority. The driver's CORRECTNESS run caps at 50 queries,
+# taken in dict order — so the queries most in need of a driver-green row
+# this round must come first, independent of module import order. Round-3
+# front-load (VERDICT r02 "What's missing #1"): the whole parse_* family
+# (r01 had 4 binance failures whose fixes were never driver-confirmed),
+# the corpus composition layer (new in r02, never sampled), the crawl
+# scheduler family, asof/range, and every operator whose plan changed this
+# round (neardup_components, corpus_pack_sequences, decontamination).
+# Already-driver-green-and-unchanged queries sort after.
+_PRIORITY = [
+    # r01-failing family — highest verification risk
+    "parse_binance_spot_trade",
+    "parse_binance_inverse_swap_trade",
+    "parse_binance_funding_rate",
+    "parse_binance_l2_levels",
+    # flagship composition + scheduler (VERDICT "Done =" names)
+    "corpus_prep_full",
+    "politeness_schedule",
+    "corpus_pack_sequences",
+    "decontaminate_ngram_overlap",
+    "corpus_sample_stratified",
+    "neardup_components",
+    "frontier_seen_batch_replay",
+    # rest of the parse family (r01-green or local-oracle-only)
+    "binance_router",
+    "parse_binance_bbo",
+    "parse_binance_candlestick",
+    "parse_gate_linear_swap_trade",
+    "compact_trade_contract",
+    "parse_kucoin_spot_trade",
+    "parse_huobi_spot_trade",
+    "parse_bybit_inverse_trade",
+    "parse_kraken_spot_trade",
+    "parse_bitfinex_spot_trade",
+    "parse_bitget_spot_trade",
+    "parse_mexc_spot_trade",
+    "parse_zb_spot_trade",
+    "parse_zbg_spot_trade",
+    "parse_ftx_swap_trade",
+    "parse_dydx_swap_trade",
+    "parse_coinbase_spot_trade",
+    "parse_bitstamp_spot_trade",
+    "parse_bithumb_spot_trade",
+    "parse_bitz_spot_trade",
+    "parse_bitmex_inverse_trade",
+    "parse_okx_swap_trade",
+    "parse_okx_v3_swap_trade",
+    "parse_deribit_inverse_trade",
+    "route_mixed_exchanges",
+    "candles_recompute_1m",
+    # crawl family (local-oracle-only in r02)
+    "url_canonicalize",
+    "frontier_seen_dedup",
+    "cuckoo_frontier_dedup",
+    "robots_gate",
+    "host_skew_stats",
+    "frontier_checkpoint_resume",
+    # asof / range (r01-green, not resampled)
+    "asof_join_purchase_view",
+    "range_join_error_follow",
+    # fill to 50 with load-bearing r02-green anchors (regression canaries)
+    "q1_pricing_summary",
+    "neardup_minhash_lsh",
+    "events_sessionize",
+    "ann_cosine_topk",
+    "spans_interleave_roundtrip",
+]
+
+
 def all_queries() -> dict[str, Query]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    missing = set(rank) - set(_REGISTRY)
+    if missing:
+        raise ValueError(f"_PRIORITY names unknown queries: {sorted(missing)}")
+    names = sorted(
+        _REGISTRY,
+        key=lambda n: (rank.get(n, len(rank)), list(_REGISTRY).index(n)),
+    )
+    return {n: _REGISTRY[n] for n in names}

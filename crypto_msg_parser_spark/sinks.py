@@ -132,6 +132,45 @@ def read_tsv_trades(spark, path: str) -> DataFrame:
     return out.select(*cols)
 
 
+def read_tsv_orderbooks(spark, path: str) -> DataFrame:
+    """OrderBookMsg from_csv_string twin (crypto-message/src/lib.rs:
+    351-382): identity columns recovered from the partition path; the
+    6-field line splits into ts/snapshot/asks/bids/seq_id/prev_seq_id;
+    levels parse from their JSON-array-of-arrays form ([price, qb, qq] or
+    [price, qb, qq, qc] — a missing 4th element is a NULL
+    quantity_contract, the reference's Option semantics); `json` is empty
+    on read-back exactly as the reference sets it (lib.rs:380)."""
+    raw = spark.read.text(path)
+    v = F.split(F.col("value"), "\t")
+
+    def levels(idx: int) -> Column:
+        arr = F.from_json(v.getItem(idx), "array<array<double>>")
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                x.getItem(0).alias("price"),
+                x.getItem(1).alias("quantity_base"),
+                x.getItem(2).alias("quantity_quote"),
+                # 3-element level -> NULL contract (ANSI mode errors on an
+                # out-of-bounds [], get() tolerates it)
+                F.get(x, 3).alias("quantity_contract"),
+            ),
+        )
+
+    out = raw.select(
+        *IDENTITY_COLS,
+        v.getItem(0).cast("long").alias("timestamp"),
+        F.lit("").alias("json"),
+        v.getItem(1).cast("boolean").alias("snapshot"),
+        levels(2).alias("asks"),
+        levels(3).alias("bids"),
+        F.nullif(v.getItem(4), F.lit("")).cast("long").alias("seq_id"),
+        F.nullif(v.getItem(5), F.lit("")).cast("long").alias("prev_seq_id"),
+    )
+    cols = [f.name for f in schemas.ORDERBOOK_SCHEMA.fields]
+    return out.select(*cols)
+
+
 def compact_symbol_hash(symbol: Column) -> Column:
     """Compact-sink symbol interning (compact/message.rs:217-220). The
     reference's ahash(1,2,3,4) is platform-unstable (its own test is

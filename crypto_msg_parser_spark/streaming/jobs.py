@@ -258,9 +258,13 @@ def crawl_stream_to_docs(urls: DataFrame) -> DataFrame:
     `writeStream.toTable` call shape).
 
     The scheduler's (epoch, in_host_rank) are logical-batch constructs; a
-    streaming fetch derives a deterministic per-URL sequence from the url
-    hash instead, so doc_ids are stable across retries/resumes (exactly-once
-    with the file-sink commit log).
+    streaming fetch uses the FULL 60-bit url_hash as the per-URL sequence
+    instead, so doc_id uniqueness is exactly the url_hash uniqueness the
+    seen-set already relies on, and doc_ids are stable across
+    retries/resumes (exactly-once with the file-sink commit log). (An
+    earlier revision took url_hash % 1e6 here — birthday collisions at
+    ~1.2k URLs/host silently merged distinct docs, breaking every
+    downstream operator keyed on doc_id.)
     """
     from crypto_msg_parser_spark.crawl.canonicalize import url_host
     from crypto_msg_parser_spark.crawl.frontier import fetch_stub
@@ -269,9 +273,7 @@ def crawl_stream_to_docs(urls: DataFrame) -> DataFrame:
     scheduled = fresh.select(
         url_host(F.col("canonical")).alias("host"),
         F.lit(0).cast("long").alias("epoch"),
-        F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("long").alias(
-            "in_host_rank"
-        ),
+        F.col("url_hash").cast("long").alias("in_host_rank"),
         "canonical",
     )
     return fetch_stub(scheduled)

@@ -100,3 +100,29 @@ def test_l2_topk_dispatch_aliases(spark):
     }
     for ex in ("binance", "huobi", "okx"):
         assert by_ex.get(ex, 0) > 0, f"{ex} dropped by parse_l2_topk dispatch"
+
+
+def test_get_msg_type_strict_reference_parity(spark):
+    """The reference's top-level get_msg_type sniffs EXACTLY 9 exchanges
+    and returns Other for the rest (lib.rs:316-329) — even where this
+    engine carries a module-level sniffer (kucoin, mexc, bitstamp, ...).
+    Default must be reference-equal; extended=True opts into the extras."""
+    rows = _mixed_rows("trade")
+    raw = fixtures_df(spark, rows)
+    strict = raw.select(
+        "exchange",
+        api.get_msg_type(F.col("exchange"), F.col("msg")).alias("mt"),
+    ).collect()
+    sniffed = {r["exchange"] for r in strict if r["mt"] != "other"}
+    assert sniffed <= set(api.REFERENCE_MSG_TYPE_ARMS)
+    # the 9 reference arms do classify their own trade messages
+    assert "binance" in sniffed and "huobi" in sniffed and "okx" in sniffed
+
+    ext = raw.select(
+        "exchange",
+        api.get_msg_type(F.col("exchange"), F.col("msg"), extended=True).alias("mt"),
+    ).collect()
+    ext_sniffed = {r["exchange"] for r in ext if r["mt"] != "other"}
+    # extras engage beyond the reference set, and nothing regresses
+    assert sniffed <= ext_sniffed
+    assert ext_sniffed - set(api.REFERENCE_MSG_TYPE_ARMS)

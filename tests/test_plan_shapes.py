@@ -90,6 +90,38 @@ def test_seen_set_anti_join_is_exchange_free(spark):
     ) <= plan.count("REPARTITION") + 2
 
 
+def test_pack_prefix_sum_two_level(spark):
+    """Sequence packing (r02 verdict scale-killer #2): the only
+    single-partition stage allowed is the global window over PER-SUPER
+    totals (n_docs/2^20 rows); both bounded window levels (_b leaf, _s
+    super) must exist. A plan with >1 SinglePartition exchange, or one
+    missing an aggregation level, has regressed to an input-proportional
+    serial stage."""
+    for name in ("corpus_pack_sequences", "corpus_prep_full"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange SinglePartition") == 1, name
+        assert "hashpartitioning(_b" in plan, name
+        assert "hashpartitioning(_s" in plan, name
+
+
+def test_no_forced_broadcast_on_unbounded_sides():
+    """r02 verdict scale-killers #3/#4: dedup/corpus operators must not
+    force-broadcast frames that grow with the corpus (component sizes,
+    benchmark trigrams, pack offsets). Source-level guard: no F.broadcast
+    hint at all in these modules — every remaining broadcast there is
+    AQE's runtime decision. Parser/crawl modules keep their hints: those
+    sides are genuinely fixed-size dictionaries (contract-value tables,
+    robots caches)."""
+    import pathlib
+
+    import crypto_msg_parser_spark.operators.corpus as corpus_mod
+    import crypto_msg_parser_spark.operators.dedup as dedup_mod
+
+    for mod in (corpus_mod, dedup_mod):
+        src = pathlib.Path(mod.__file__).read_text()
+        assert "F.broadcast(" not in src, mod.__name__
+
+
 def test_route_ladder_single_generate_barrier(spark):
     """The fused routing triple: ONE struct ladder behind ONE Generate
     barrier (three parallel column ladders re-evaluated the match and blew

@@ -203,3 +203,45 @@ def test_compact_quantity_choice(spark):
     for r in cb:
         for lv in r["asks"]:
             assert set(lv.asDict()) == {"price", "quantity"}
+
+
+def test_orderbook_tsv_round_trip(spark, tmp_path):
+    """Mirrors the reference's orderbook CSV round-trip test
+    (crypto-message/src/lib.rs:555-572): write -> read back -> equal on
+    every field, with json empty on read-back (lib.rs:380) and level
+    quantities compared at the codec's 9-decimal write precision."""
+    from crypto_msg_parser_spark.functions.scalar import round9
+
+    rows = [
+        r
+        for r in load_fixtures("binance", "l2_event")
+        if r["market_type"] not in (None, "european_option")
+    ]
+    raw = fixtures_df(spark, rows)
+    books = binance.parse_l2(raw)
+    path = str(tmp_path / "ob_tsv")
+    sinks.write_tsv(books, path, kind="orderbook")
+    back = sinks.read_tsv_orderbooks(spark, path)
+
+    def norm_levels(col):
+        return F.transform(
+            F.col(col),
+            lambda lv: F.struct(
+                lv["price"].alias("price"),
+                round9(lv["quantity_base"]).alias("quantity_base"),
+                round9(lv["quantity_quote"]).alias("quantity_quote"),
+                lv["quantity_contract"].alias("quantity_contract"),
+            ),
+        )
+
+    expected = books.withColumn("json", F.lit("")).withColumns(
+        {"asks": norm_levels("asks"), "bids": norm_levels("bids")}
+    ).select(*back.columns)
+    a = sorted(map(str, expected.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a and a == b
+    # same names and types; nullability legitimately differs (everything
+    # parsed back from text is nullable)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in expected.schema.fields
+    ]
