@@ -13,6 +13,22 @@ storage partition, built executor-side with groupBy.applyInPandas, carried
 as rows of a (rank_bucket, m, table bytes, overflow) DataFrame, applied
 and updated partition-locally by cogrouping on rank_bucket. The driver
 never materializes any table.
+
+Deletion soundness contract: `insert` dedups by (bucket, fingerprint) —
+two DISTINCT urls whose hashes collide on the 12-bit fp + bucket pair
+share ONE stored fingerprint, so deleting one (cuckoo_update_buckets)
+produces a false NEGATIVE for the other. This is inherent to partial-key
+cuckoo deletion (Fan et al. §3.2 requires "only delete items known to be
+inserted" and still shares this aliasing), not an implementation bug.
+Consequence for the crawl: after any eviction, "definitely new" answers
+from the filter are only probabilistically sound, so recrawl/TTL
+maintenance must keep the EXACT seen-set layer authoritative for
+rows the filter passes as new (or rebuild the bucket's filter from the
+exact layer after a deletion batch — one applyInPandas pass over that
+bucket, which build_cuckoo_buckets already expresses). The
+pre-eviction fresh-URL path (cuckoo_frontier_dedup) is unaffected:
+without deletions the filter has no false negatives and false positives
+fall through to the exact anti-join.
 """
 
 from __future__ import annotations

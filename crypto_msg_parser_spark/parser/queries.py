@@ -401,6 +401,47 @@ def parse_binance_l2_levels(spark, sf_dir):
 
 
 @query(
+    "l2_seq_gap_detect",
+    oracle=f"""
+    WITH src AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             l_orderkey * 100 + l_linenumber AS seq_id,
+             l_orderkey * 100 + l_linenumber - 1 AS prev_seq_id
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    w AS (
+      SELECT symbol, seq_id, prev_seq_id,
+             lag(seq_id) OVER (PARTITION BY symbol ORDER BY seq_id)
+               AS prev_in_stream
+      FROM src)
+    SELECT symbol, seq_id, prev_seq_id, prev_in_stream
+    FROM w
+    WHERE prev_in_stream IS NOT NULL AND prev_seq_id <> prev_in_stream
+    """,
+    doc="seq-id gap detection over the parsed binance depth stream "
+    "(SURVEY §2.6: binance pu must equal the previous update's u, "
+    "binance_all.rs:215-220 / deribit change_id chaining): per-symbol "
+    "lag(seq_id) vs the message's own prev_seq_id flags every continuity "
+    "break — the signal that triggers a REST snapshot re-sync in the "
+    "reference's consumers. Scale note: the window partitions by symbol "
+    "(thousands of keys in production — here 4); a production job adds a "
+    "time-bucket to the partition key and chains the per-bucket boundary "
+    "rows, the same two-level trick as pack_sequences.",
+)
+def l2_seq_gap_detect(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    raw = _l2_msgs(spark, sf_dir)
+    parsed = binance.parse_l2(raw)
+    heads = parsed.select("symbol", "seq_id", "prev_seq_id")
+    w = W.partitionBy("symbol").orderBy("seq_id")
+    out = heads.withColumn("prev_in_stream", F.lag("seq_id").over(w))
+    return out.filter(
+        F.col("prev_in_stream").isNotNull()
+        & (F.col("prev_seq_id") != F.col("prev_in_stream"))
+    )
+
+
+@query(
     "binance_router",
     oracle=f"""
     SELECT l_orderkey || ':' || l_linenumber AS msg_id,
