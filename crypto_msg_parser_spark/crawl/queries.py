@@ -260,6 +260,44 @@ def robots_gate(spark, sf_dir):
     )
 
 
+@query(
+    "bloom_frontier_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS canonical, {_SQL_HOST} AS host, p_partkey
+      FROM part),
+    seen AS (SELECT canonical FROM f WHERE p_partkey % 3 = 0)
+    SELECT host, count(*) AS n_new
+    FROM f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical = f.canonical)
+    GROUP BY host
+    """,
+    doc="seen-set dedup through the per-bucket BLOOM prefilter + exact "
+    "anti-join backstop (the hot-path twin of cuckoo_frontier_dedup; the "
+    "Bloom layer cannot delete, which is why the cuckoo layer exists). "
+    "Probabilistic false positives fall through to the exact layer, so "
+    "the outcome is deterministic and must equal the pure-SQL dedup.",
+)
+def bloom_frontier_dedup(spark, sf_dir):
+    from crypto_msg_parser_spark.crawl.frontier import (
+        bloom_prefilter,
+        dedup_against_seen,
+    )
+    from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier
+
+    f = (
+        prepare_frontier(_frontier_df(spark, sf_dir))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    seen = f.filter(F.col("p_partkey") % 3 == 0).select(
+        "rank_bucket", "url_hash", "canonical"
+    )
+    definitely_new, needs_check = bloom_prefilter(spark, f, seen, coarsen=5)
+    new = definitely_new.unionByName(dedup_against_seen(needs_check, seen))
+    return new.groupBy("host").agg(F.count(F.lit(1)).alias("n_new"))
+
+
 # ------------------------------------------ checkpoint / resume row
 #
 # The north rule requires the crawl to be "resumable from checkpoint with

@@ -112,6 +112,13 @@ def schedule(frontier: DataFrame) -> DataFrame:
         .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
         .drop("n")
     )
+    # broadcast contract (kept deliberately while the unbounded-side hints
+    # were purged from dedup/corpus in round 3): offsets has one row per
+    # (host, priority, rank_bucket) combination, and the HOST universe here
+    # is the exchange API endpoints of SURVEY §1.6 — dozens of hosts, not
+    # the open web — so the table is ≤ hosts × 3 × 1024 rows (KBs) at ANY
+    # frontier size. A general-web deployment with 10^6+ hosts must drop
+    # the hint (AQE) or pre-aggregate per host-shard.
     return (
         ranked.join(F.broadcast(offsets), ["host", "priority", "rank_bucket"])
         .withColumn("in_host_rank", (F.col("offset") + F.col("local_rank")).cast("int"))

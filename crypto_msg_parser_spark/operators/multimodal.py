@@ -150,6 +150,177 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
+RESIZED_DDL = MEDIA_META_DDL + ", resized_width int, resized_height int"
+
+
+def resize_media(df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage: bound the longer image side to ``max_dim`` preserving
+    aspect ratio. Arrow-batched mapInPandas like decode; the real
+    transcoder (PIL thumbnail / ffmpeg scale) swaps in behind the same
+    schema. Dimension math is pure integer ((w*max_dim)//longest) so the
+    DuckDB oracle reproduces it exactly; the payload passes through here
+    (a real stage would re-encode it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            longest = pdf[["width", "height"]].max(axis=1)
+            out["resized_width"] = (
+                (pdf["width"] * max_dim) // longest
+            ).clip(lower=1).astype("int32")
+            out["resized_height"] = (
+                (pdf["height"] * max_dim) // longest
+            ).clip(lower=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, RESIZED_DDL)
+
+
+FEATURES_DDL = "media_ref string, feature_hash string, embedding array<double>"
+_FEATURE_DIM = 8
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage: media -> dense embedding (array<double>),
+    the shape the ANN/embedding-dedup operators consume (similarity.py) —
+    a real pipeline drops a CLIP/CNN forward pass behind this exact
+    mapInPandas signature. The deterministic stand-in derives each of the
+    8 components from one byte of the content feature_hash, scaled to
+    [0, 1] by /255.0 (exact in IEEE double, so the oracle matches
+    bit-for-bit)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "feature_hash": pdf["feature_hash"],
+                    "embedding": [
+                        [int(h[2 * i : 2 * i + 2], 16) / 255.0
+                         for i in range(_FEATURE_DIM)]
+                        for h in pdf["feature_hash"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_DDL)
+
+
+@query(
+    "media_resize",
+    oracle=f"""
+    WITH h AS ({_SQL_MEDIA}),
+    meta AS (
+      SELECT media_ref,
+             64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS width,
+             64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS height
+      FROM h)
+    SELECT media_ref, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(greatest(width * 64 // greatest(width, height), 1) AS INT)
+             AS resized_width,
+           CAST(greatest(height * 64 // greatest(width, height), 1) AS INT)
+             AS resized_height
+    FROM meta
+    """,
+    doc="multimodal resize: longer side bounded to 64px, aspect "
+    "preserved, integer-exact math through the Arrow-batched mapInPandas "
+    "stage (real transcoder swaps in behind the same schema).",
+)
+def media_resize(spark, sf_dir):
+    meta = decode_media(_synth_media(spark, sf_dir))
+    return resize_media(meta, max_dim=64).select(
+        "media_ref", "width", "height", "resized_width", "resized_height"
+    )
+
+
+@query(
+    "media_feature_extract",
+    oracle=f"""
+    WITH h AS ({_SQL_MEDIA})
+    SELECT media_ref, substr(hx, 1, 16) AS feature_hash,
+           {', '.join(
+               f"('0x' || substr(hx, {1 + 2 * i}, 2))::INT / 255.0 AS e{i}"
+               for i in range(_FEATURE_DIM)
+           )}
+    FROM h
+    """,
+    doc="multimodal feature extraction: media -> dense array<double> "
+    "embedding via mapInPandas (deterministic stand-in for a CLIP/CNN "
+    "forward pass; byte/255.0 is exact in IEEE double so the oracle "
+    "hash-matches). The operator returns array<double> — the shape the "
+    "ANN/embedding-dedup operators consume; the driver row projects the "
+    "components to scalar columns because the cross-engine value-hash "
+    "canonicalizes scalars, not nested arrays.",
+)
+def media_feature_extract(spark, sf_dir):
+    meta = decode_media(_synth_media(spark, sf_dir))
+    feats = extract_features(meta)
+    return feats.select(
+        "media_ref",
+        "feature_hash",
+        *[F.col("embedding").getItem(i).alias(f"e{i}")
+          for i in range(_FEATURE_DIM)],
+    )
+
+
+_MEDIA_ND_THRESHOLD = 0.9
+_MEDIA_ND_CELLS = 8
+
+
+@query(
+    "media_embedding_neardup",
+    oracle=f"""
+    WITH h AS ({_SQL_MEDIA}),
+    feats AS (
+      SELECT media_ref,
+             ('0x' || substr(hx, 1, 2))::INT % {_MEDIA_ND_CELLS} AS cell,
+             list_transform(range(0, {_FEATURE_DIM}),
+               i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT / 255.0) AS v
+      FROM h)
+    SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+           list_cosine_similarity(a.v, b.v) AS cosine
+    FROM feats a JOIN feats b
+      ON a.cell = b.cell AND a.media_ref < b.media_ref
+    WHERE list_cosine_similarity(a.v, b.v) >= {_MEDIA_ND_THRESHOLD}
+    """,
+    doc="END-TO-END multimodal dedup: decode -> feature-extract -> "
+    "cell-blocked embedding-cosine near-dup, composing the multimodal "
+    "stages with the semantic-dedup join shape of "
+    "neardup_embedding_cosine (similarity.py). Blocking cell = a byte of "
+    "the content feature hash (at scale: the k-means IVF cell), so work "
+    "is O(sum cell_size^2), never all-pairs across the corpus; cosine is "
+    "the sequential-accumulation form both engines share bit-for-bit.",
+)
+def media_embedding_neardup(spark, sf_dir):
+    from .similarity import cosine
+
+    meta = decode_media(_synth_media(spark, sf_dir))
+    feats = extract_features(meta)
+    blocked = feats.select(
+        "media_ref",
+        (
+            F.conv(F.substring("feature_hash", 1, 2), 16, 10).cast("int")
+            % _MEDIA_ND_CELLS
+        ).alias("cell"),
+        F.col("embedding").alias("v"),
+    )
+    return (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _MEDIA_ND_THRESHOLD)
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Pull media spans out of the interleaved documents table into the
     multimodal shape (payload synthesized from the ref here; a real crawl
