@@ -216,6 +216,11 @@ _ROBOTS_BODIES = [
         1000,
         "User-agent: Googlebot\nDisallow: /\n\n"
         "User-agent: *\nDisallow: /internal\n"
+        # RFC 9309 longest-match trap: the wildcard Disallow matches every
+        # frontier path, but the LONGER Allow overrides it — a naive
+        # any-disallow-prefix matcher blocks all of binance and fails the
+        # oracle; the correct longest-match verdict keeps it crawlable
+        "Disallow: /api/*\nAllow: /api/symbols\n"
         "Disallow: /api/symbols/private\nCrawl-delay: 0.01\n",
     ),
     (
@@ -240,9 +245,12 @@ _ROBOTS_BODIES = [
     """,
     doc="robots cache (SURVEY §2.9 crawl-state): codegen'd line-fold "
     "parse of each host's robots.txt (User-agent:* section state machine) "
-    "-> broadcast-joined disallow-prefix gate + Crawl-delay politeness "
-    "clamp. The oracle is the closed form of the synthesized bodies, so "
-    "the parser must invert the synthesizer exactly.",
+    "-> broadcast-joined RFC 9309 longest-match Allow/Disallow verdict "
+    "(wildcards + end anchors, greedy segment scan — no regex, no "
+    "Python) + Crawl-delay politeness clamp. The binance body embeds a "
+    "wildcard-Disallow/longer-Allow pair, so a matcher without "
+    "longest-match precedence fails the oracle. The oracle is the closed "
+    "form of the synthesized bodies.",
 )
 def robots_gate(spark, sf_dir):
     from crypto_msg_parser_spark.crawl.robots import (

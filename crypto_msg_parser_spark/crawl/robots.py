@@ -5,26 +5,44 @@ The reference's polite client fetches with a fixed UA (crypto-msg-parser/
 src/exchanges/utils.rs:8-24); the crawl layer this engine adds must honor
 each host's robots.txt before scheduling.
 
+Rule semantics follow RFC 9309 (Robots Exclusion Protocol, public spec):
+
+  - both ``Allow:`` and ``Disallow:`` rules of the matched group;
+  - ``*`` in a rule matches any character run, ``$`` anchors the rule at
+    the end of the path;
+  - precedence is MOST-SPECIFIC WINS: among the rules matching a path,
+    the longest rule (octet length of the pattern) decides; on a
+    length tie Allow beats Disallow;
+  - no matching rule -> allowed; no robots.txt -> unrestricted
+    (fail-open matches the reference's fetch-anyway client);
+  - ``#`` starts a comment; blank Disallow lines are ignored.
+
 Spark-first shape:
   - PARSE is a pure-Catalyst fold: ``F.aggregate`` over the body's lines
     with a struct accumulator runs the User-agent section state machine
     (track whether we are inside a ``User-agent: *`` group; collect its
-    Disallow prefixes and Crawl-delay) entirely inside whole-stage codegen
-    — no Python, no UDF.
-  - The rules table (host, disallow[], crawl_delay) is tiny per row; at
+    Allow/Disallow rules and Crawl-delay) entirely inside whole-stage
+    codegen — no Python, no UDF.
+  - MATCHING is also pure Catalyst: the wildcard pattern is evaluated by
+    a greedy segment scan (split on ``*`` + an ``aggregate`` fold of
+    ``locate`` calls), NOT by per-row regex compilation — the standard
+    greedy algorithm for glob-subset matching, O(len(path)) per rule.
+  - The rules table (host, rules[], crawl_delay) is tiny per row; at
     exchange scale (hundreds of hosts) it broadcasts, at web scale
     (millions of hosts) the same join shuffles on host — both plans fall
     out of the one declarative join below.
-  - APPLY = left join on host + EXISTS over the prefix array against the
-    URL path; crawl_delay clamps the per-host politeness budget before
-    scheduling (min(rate_budget, 60/delay)).
+  - APPLY = left join on host + longest-match verdict over the rules
+    array against the URL path; crawl_delay clamps the per-host
+    politeness budget before scheduling (min(rate_budget, 60/delay)).
   - CACHE refresh = latest-fetched_at-per-host upsert with a TTL filter —
     a groupBy(max) the same shape as the seen-set checkpoint tables.
 
 Subset honestly implemented: ``User-agent: *`` groups only (the crawler
 presents one UA and exchange robots files in practice only carry the star
 group); specific-UA precedence would add a second fold pass with the same
-accumulator.
+accumulator. Rules match the URL PATH (query excluded) — the common
+crawler simplification; extending to path+query is the same expressions
+over ``parse_url(url, 'QUERY')`` concatenated on.
 """
 
 from __future__ import annotations
@@ -34,41 +52,52 @@ from pyspark.sql import functions as F
 
 ROBOTS_FETCH_SCHEMA = "host string, fetched_at long, body string"
 
+_RULE = "struct<allow:boolean, pattern:string>"
 _ACC = (
-    "struct<in_star:boolean, disallow:array<string>, crawl_delay:double>"
+    f"struct<in_star:boolean, rules:array<{_RULE}>, crawl_delay:double>"
 )
 
 
 def _fold_line(acc: Column, line: Column) -> Column:
     """One robots.txt line through the section state machine."""
-    l = F.lower(F.trim(line))
+    # comments run from '#' to end of line (RFC 9309 §2.2.4)
+    raw = F.substring_index(line, "#", 1)
+    l = F.lower(F.trim(raw))
     agent = F.trim(F.substring_index(l, ":", -1))
     is_ua = l.startswith("user-agent:")
     is_dis = l.startswith("disallow:")
+    is_allow = l.startswith("allow:")
     is_delay = l.startswith("crawl-delay:")
-    value = F.trim(F.substring_index(F.trim(line), ":", -1))
+    # value keeps original case (paths are case-sensitive); everything
+    # after the FIRST ':' so patterns containing ':' survive
+    value = F.trim(F.regexp_extract(F.trim(raw), "^[^:]*:(.*)$", 1))
+
+    def _with_rule(allow: bool) -> Column:
+        rule = F.struct(
+            F.lit(allow).alias("allow"), value.alias("pattern")
+        )
+        return F.struct(
+            acc["in_star"].alias("in_star"),
+            F.array_append(acc["rules"], rule).alias("rules"),
+            acc["crawl_delay"].alias("crawl_delay"),
+        )
+
     return (
         F.when(
             is_ua,
             F.struct(
                 (agent == "*").alias("in_star"),
-                acc["disallow"].alias("disallow"),
+                acc["rules"].alias("rules"),
                 acc["crawl_delay"].alias("crawl_delay"),
             ),
         )
-        .when(
-            is_dis & acc["in_star"] & (value != ""),
-            F.struct(
-                acc["in_star"].alias("in_star"),
-                F.array_append(acc["disallow"], value).alias("disallow"),
-                acc["crawl_delay"].alias("crawl_delay"),
-            ),
-        )
+        .when(is_dis & acc["in_star"] & (value != ""), _with_rule(False))
+        .when(is_allow & acc["in_star"] & (value != ""), _with_rule(True))
         .when(
             is_delay & acc["in_star"],
             F.struct(
                 acc["in_star"].alias("in_star"),
-                acc["disallow"].alias("disallow"),
+                acc["rules"].alias("rules"),
                 value.cast("double").alias("crawl_delay"),
             ),
         )
@@ -77,11 +106,13 @@ def _fold_line(acc: Column, line: Column) -> Column:
 
 
 def parse_robots(fetched: DataFrame) -> DataFrame:
-    """(host, fetched_at, body) -> (host, fetched_at, disallow[],
+    """(host, fetched_at, body) -> (host, fetched_at, rules[], disallow[],
     crawl_delay) — the ``User-agent: *`` group's rules, parsed by a
-    codegen'd line fold (no Python)."""
+    codegen'd line fold (no Python). ``disallow`` is the plain-prefix
+    projection kept for consumers that only need the deny list."""
     init = F.expr(
-        "named_struct('in_star', false, 'disallow', array(), "
+        "named_struct('in_star', false, 'rules', "
+        f"cast(array() as array<{_RULE}>), "
         "'crawl_delay', cast(null as double))"
     ).cast(_ACC)
     folded = F.aggregate(
@@ -90,7 +121,11 @@ def parse_robots(fetched: DataFrame) -> DataFrame:
     return fetched.select(
         "host",
         "fetched_at",
-        folded["disallow"].alias("disallow"),
+        folded["rules"].alias("rules"),
+        F.transform(
+            F.filter(folded["rules"], lambda r: ~r["allow"]),
+            lambda r: r["pattern"],
+        ).alias("disallow"),
         folded["crawl_delay"].alias("crawl_delay"),
     )
 
@@ -106,9 +141,14 @@ def robots_cache_refresh(
         .filter(F.col("fetched_at") >= now_ms - ttl_ms)
         .groupBy("host")
         .agg(
-            F.max_by(F.struct("fetched_at", "disallow", "crawl_delay"), "fetched_at").alias("r")
+            F.max_by(
+                F.struct("fetched_at", "rules", "disallow", "crawl_delay"),
+                "fetched_at",
+            ).alias("r")
         )
-        .select("host", "r.fetched_at", "r.disallow", "r.crawl_delay")
+        .select(
+            "host", "r.fetched_at", "r.rules", "r.disallow", "r.crawl_delay"
+        )
     )
 
 
@@ -116,23 +156,91 @@ def _url_path(url: Column) -> Column:
     return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
 
 
+def _wild_match(path: Column, pat: Column) -> Column:
+    """RFC 9309 rule match as pure column expressions: ``*`` = any run,
+    trailing ``$`` = end anchor, otherwise prefix-anchored. Greedy
+    left-to-right segment placement (split on ``*``; each literal segment
+    is located at the earliest position after the previous one) — the
+    classical glob-match algorithm, correct because placing a segment as
+    early as possible never forecloses a later match."""
+    end = pat.endswith("$")
+    core = F.when(end, F.substr(pat, F.lit(1), F.length(pat) - 1)).otherwise(
+        pat
+    )
+    segs = F.split(core, "\\*", -1)
+    n = F.size(segs)
+    s0 = F.element_at(segs, 1)
+    last = F.element_at(segs, -1)
+    # acc = 0-based offset where the next segment may start; -1 = dead
+    acc0 = F.when(
+        path.startswith(s0), F.length(s0).cast("int")
+    ).otherwise(F.lit(-1).cast("int"))
+    mids = F.slice(segs, 2, F.greatest(n - 2, F.lit(0)))
+
+    def _step(acc: Column, s: Column) -> Column:
+        found = F.call_function("locate", s, path, acc + 1)
+        return (
+            F.when(acc < 0, acc)
+            .when(F.length(s) == 0, acc)
+            .when(found == 0, F.lit(-1).cast("int"))
+            .otherwise((found + F.length(s) - 1).cast("int"))
+        )
+
+    folded = F.aggregate(mids, acc0, _step)
+    # single-segment pattern: pure prefix (or exact match with '$')
+    single = (path.startswith(s0)) & (
+        ~end | (F.length(path) == F.length(s0))
+    )
+    with_end = (
+        (folded >= 0)
+        & path.endswith(last)
+        & (F.length(path) - F.length(last) >= folded)
+    )
+    without_end = F.when(F.length(last) == 0, folded >= 0).otherwise(
+        F.call_function("locate", last, path, folded + 1) > 0
+    )
+    return F.when(n == 1, single).otherwise(
+        F.when(end, with_end).otherwise((folded >= 0) & without_end)
+    )
+
+
+def robots_verdict(path: Column, rules: Column) -> Column:
+    """True iff ``path`` is allowed under ``rules`` (array of
+    (allow, pattern)). Longest matching pattern decides; ties go to
+    Allow; no match (or no rules) -> allowed."""
+    matching = F.filter(rules, lambda r: _wild_match(path, r["pattern"]))
+    # lexicographic struct max: longest pattern first, Allow on ties
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["pattern"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return best.isNull() | (best["a"] == 1)
+
+
 def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
-    """Drop frontier URLs a host's robots disallow, and clamp the per-host
-    politeness budget by Crawl-delay (min(rate_budget_per_min, 60/delay)).
-    Hosts without rules are unrestricted (fail-open matches the reference's
-    fetch-anyway client; flip the coalesce for fail-closed)."""
+    """Drop frontier URLs the host's robots rules disallow (longest-match
+    Allow/Disallow verdict), and clamp the per-host politeness budget by
+    Crawl-delay (min(rate_budget_per_min, 60/delay)). Hosts without rules
+    are unrestricted (fail-open matches the reference's fetch-anyway
+    client; flip the coalesce for fail-closed)."""
     r = rules.select(
         F.col("host").alias("r_host"),
-        F.col("disallow").alias("r_disallow"),
+        F.col("rules").alias("r_rules"),
         F.col("crawl_delay").alias("r_delay"),
     )
     joined = frontier.join(
         F.broadcast(r), frontier["host"] == F.col("r_host"), "left"
     ).drop("r_host")
-    path = _url_path(F.col("canonical") if "canonical" in frontier.columns else F.col("url"))
-    blocked = F.exists(
-        F.coalesce(F.col("r_disallow"), F.array()),
-        lambda p: path.startswith(p),
+    path = _url_path(
+        F.col("canonical") if "canonical" in frontier.columns else F.col("url")
+    )
+    allowed = robots_verdict(
+        path, F.coalesce(F.col("r_rules"), F.expr(f"cast(array() as array<{_RULE}>)"))
     )
     clamped = F.when(
         F.col("r_delay").isNotNull() & (F.col("r_delay") > 0),
@@ -144,7 +252,7 @@ def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.col("rate_budget_per_min"))
     return (
-        joined.filter(~blocked)
+        joined.filter(allowed)
         .withColumn("rate_budget_per_min", clamped)
-        .drop("r_disallow", "r_delay")
+        .drop("r_rules", "r_delay")
     )

@@ -505,6 +505,95 @@ def events_tumbling_window(spark, sf_dir):
 
 
 @query(
+    "events_stream_late_drop",
+    oracle="""
+    WITH b1 AS (SELECT ts FROM events WHERE event_id % 4 = 1),
+    b23 AS (SELECT ts FROM events WHERE event_id % 4 IN (2, 3)),
+    b3 AS (SELECT ts - INTERVAL 3 HOUR AS ts FROM events
+           WHERE event_id % 4 = 0),
+    wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b1),
+    kept3 AS (SELECT ts FROM b3
+              WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    > (SELECT w FROM wm1)),
+    allr AS (SELECT ts FROM b1 UNION ALL SELECT ts FROM b23
+             UNION ALL SELECT ts FROM kept3),
+    wmf AS (SELECT greatest((SELECT max(ts) FROM b1),
+                            (SELECT max(ts) FROM b23),
+                            (SELECT max(ts) FROM b3))
+                   - INTERVAL 1 HOUR AS w),
+    agg AS (SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM allr GROUP BY 1)
+    SELECT window_start, n FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+    """,
+    doc="watermark LATE-DATA semantics as a driver row: the real "
+    "Structured Streaming tumbling-count job (1h window, 1h watermark) "
+    "drained under Trigger.availableNow over three deterministic "
+    "micro-batches — batch 3 carries events shifted 3h into the past. "
+    "Spark's late filter LAGS the reported watermark by one batch "
+    "(measured on this engine: the filter for batch N uses the watermark "
+    "from the end of batch N-2, eviction/emission from the end of batch "
+    "N-1), so a two-batch design drops nothing; the third batch is what "
+    "makes the late rows actually die. The oracle replays the closed "
+    "form: batches 1-2 pass unfiltered, batch-3 rows are dropped when "
+    "window_end <= max(batch1) - 1h, and the trailing no-data batch "
+    "emits exactly the windows with end <= global max(ts) - 1h "
+    "(append mode).",
+)
+def events_stream_late_drop(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 4 == 1).select("ts")
+    b2 = ev.filter((F.col("event_id") % 4).isin(2, 3)).select("ts")
+    b3 = ev.filter(F.col("event_id") % 4 == 0).select(
+        (F.col("ts") - F.expr("INTERVAL 3 HOURS")).alias("ts")
+    )
+    src = tempfile.mkdtemp(prefix="late_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_stream_ckpt_")
+    name = f"late_drop_{uuid.uuid4().hex[:12]}"
+    try:
+        # three source files with forced mtime order = three micro-batches
+        for i, part in enumerate((b1, b2, b3)):
+            d = tempfile.mkdtemp(prefix="late_stream_part_")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.sql(f"SELECT window_start, n FROM {name}")
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, session_id, count(*) AS n_events,

@@ -146,12 +146,16 @@ _PRIORITY = [
     # asof / range (r01-green, not resampled)
     "asof_join_purchase_view",
     "range_join_error_follow",
+    # rows NEW this round (streaming watermark semantics, seq-gap QA,
+    # bloom prefilter) — never driver-sampled before, so they outrank
+    # anchors whose family already holds other r02-green rows
+    # (events_tumbling_window, ann_ivf/lsh, spans_media/text)
+    "events_stream_late_drop",
+    "l2_seq_gap_detect",
+    "bloom_frontier_dedup",
     # fill to 50 with load-bearing r02-green anchors (regression canaries)
     "q1_pricing_summary",
     "neardup_minhash_lsh",
-    "events_sessionize",
-    "ann_cosine_topk",
-    "spans_interleave_roundtrip",
 ]
 
 

@@ -338,8 +338,13 @@ def test_robots_parse_and_cache(spark):
     assert rules["c.example"]["disallow"] == []
 
     older = spark.createDataFrame(
-        [("a.example", 50, ["/old"], None), ("stale.example", 1, ["/s"], None)],
-        "host string, fetched_at long, disallow array<string>, crawl_delay double",
+        [
+            ("a.example", 50, [(False, "/old")], ["/old"], None),
+            ("stale.example", 1, [(False, "/s")], ["/s"], None),
+        ],
+        "host string, fetched_at long, "
+        "rules array<struct<allow:boolean,pattern:string>>, "
+        "disallow array<string>, crawl_delay double",
     )
     merged = {
         r["host"]: r
@@ -410,3 +415,55 @@ def test_mega_host_splits_across_rank_buckets(spark):
     big = by_host["api.binance.com"]
     assert big["n"] == max(r["n"] for r in per_host)  # it IS the mega host
     assert big["n_buckets"] >= 8  # and its window work is split
+
+
+def test_robots_rfc9309_longest_match_and_wildcards(spark):
+    """Allow/Disallow longest-match precedence, '*' wildcards, '$' end
+    anchors, comments — RFC 9309 semantics as pure Catalyst expressions."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        parse_robots,
+        robots_verdict,
+    )
+
+    body = (
+        "# global rules\n"
+        "User-agent: *\n"
+        "Disallow: /api/sym          # short prefix\n"
+        "Allow: /api/symbols\n"
+        "Disallow: /priv/*/keys\n"
+        "Disallow: /exact$\n"
+        "Allow: /priv/open/keys\n"
+        "Disallow: /tail*\n"
+    )
+    fetched = spark.createDataFrame(
+        [("h.example", 1, body)], ROBOTS_FETCH_SCHEMA
+    )
+    rules_df = parse_robots(fetched)
+    cases = [
+        # (path, expected_allowed, why)
+        ("/api/symbols", True, "Allow /api/symbols (12) beats Disallow /api/sym (8)"),
+        ("/api/symbols/x", True, "same longest-match"),
+        ("/api/sympx", False, "only Disallow /api/sym matches"),
+        ("/priv/a/keys", False, "wildcard disallow"),
+        ("/priv/open/keys", True, "Allow (15) beats Disallow /priv/*/keys (12)"),
+        ("/priv/ab/cd/keys", False, "'*' spans multiple segments"),
+        ("/exact", False, "end-anchored match"),
+        ("/exactly", True, "'$' anchor rejects longer path"),
+        ("/tailanything", False, "trailing '*'"),
+        ("/other", True, "no rule matches"),
+    ]
+    paths = spark.createDataFrame(
+        [(p,) for p, _, _ in cases], "path string"
+    )
+    joined = paths.crossJoin(rules_df.select("rules"))
+    got = {
+        r["path"]: r["ok"]
+        for r in joined.select(
+            "path", robots_verdict(F.col("path"), F.col("rules")).alias("ok")
+        ).collect()
+    }
+    for p, want, why in cases:
+        assert got[p] == want, f"{p}: {why} (got {got[p]})"
