@@ -227,14 +227,20 @@ def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     Allow/Disallow verdict), and clamp the per-host politeness budget by
     Crawl-delay (min(rate_budget_per_min, 60/delay)). Hosts without rules
     are unrestricted (fail-open matches the reference's fetch-anyway
-    client; flip the coalesce for fail-closed)."""
+    client; flip the coalesce for fail-closed).
+
+    No broadcast hint on the rules side: at exchange scale (hundreds of
+    hosts) AQE broadcasts it automatically; at web scale (millions of
+    hosts, rule arrays attached) the rules table is NOT driver-bounded and
+    the join must be free to shuffle on host — the same key the politeness
+    scheduler partitions on, so the exchange is reused downstream."""
     r = rules.select(
         F.col("host").alias("r_host"),
         F.col("rules").alias("r_rules"),
         F.col("crawl_delay").alias("r_delay"),
     )
     joined = frontier.join(
-        F.broadcast(r), frontier["host"] == F.col("r_host"), "left"
+        r, frontier["host"] == F.col("r_host"), "left"
     ).drop("r_host")
     path = _url_path(
         F.col("canonical") if "canonical" in frontier.columns else F.col("url")

@@ -91,6 +91,97 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ domain-cap rebalancing
+
+# cap any single source at this share of total corpus tokens, in permille:
+# 50 = 5.0%. With 20 near-uniform sources (4.2-5.7% each) the cap bites
+# the heavy half and passes the light half — both branches live at any SF.
+_CAP_PERMILLE_SHARE = 50
+_REBAL_SALT = "#rebal"
+
+
+@query(
+    "corpus_domain_rebalance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents),
+    src AS (SELECT source, sum(tok) AS st FROM toks GROUP BY source),
+    tot AS (SELECT sum(st) AS t FROM src),
+    rated AS (
+      SELECT source, st,
+             least(1000, ({_CAP_PERMILLE_SHARE} * (SELECT t FROM tot)) // st)
+               AS rate_permille
+      FROM src),
+    keyed AS (
+      SELECT k.source, r.rate_permille, r.st, k.tok,
+             (('0x' || substr(md5(k.doc_id::VARCHAR || '{_REBAL_SALT}'),
+                              1, 15))::BIGINT % 1000
+              < r.rate_permille) AS keep
+      FROM toks k JOIN rated r USING (source))
+    SELECT source,
+           CAST(any_value(rate_permille) AS BIGINT) AS rate_permille,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN keep THEN tok END), 0) AS BIGINT)
+             AS tokens_kept,
+           CAST(any_value(st) AS BIGINT) AS tokens_before
+    FROM keyed GROUP BY source
+    """,
+    doc="domain-cap rebalancing: derive each source's keep rate IN-PLAN "
+    "from its measured token mass so no source exceeds "
+    f"{_CAP_PERMILLE_SHARE / 10:.1f}% of total corpus tokens (the "
+    "host/domain cap of Dolma/C4-style mixture prep), then apply it as "
+    "the same deterministic hash-threshold filter the stratified sampler "
+    "uses — no RNG, reproducible across engines and re-runs. Unlike "
+    "corpus_sample_stratified (static per-stratum rates), the rates here "
+    "are data-dependent: per-source totals are one partial-aggregated "
+    "groupBy (never a collect — sources are unbounded at web scale), the "
+    "grand total a 1-row frame cross-joined in (bounded by construction), "
+    "the rate join a plain equi-join on source. Integer arithmetic "
+    "(permille, div) keeps the rate bit-identical across engines.",
+)
+def corpus_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    src = toks.groupBy("source").agg(F.sum("tok").alias("st"))
+    # the grand total is the single row of a global aggregate; the cross
+    # join plans as BroadcastNestedLoopJoin with a 1-row build side —
+    # bounded by construction, and the only way to keep the data-dependent
+    # scalar inside one plan (a literal would need a separate driver job)
+    total = src.agg(F.sum("st").alias("_total"))
+    rated = src.crossJoin(total).select(
+        "source",
+        "st",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr(f"({_CAP_PERMILLE_SHARE} * _total) div st"),
+        ).alias("rate_permille"),
+    )
+    keyed = toks.join(rated, "source")
+    keep = (
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_REBAL_SALT))
+        )
+        % 1000
+        < F.col("rate_permille")
+    )
+    return keyed.groupBy("source").agg(
+        F.any_value("rate_permille").alias("rate_permille"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.any_value("st").alias("tokens_before"),
+    )
+
+
 # --------------------------------------------- benchmark decontamination
 
 _BENCH_SALT = "#bench"

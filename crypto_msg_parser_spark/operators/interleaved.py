@@ -178,6 +178,209 @@ def spans_media_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_from_documents(inter).select("media_ref", "media_type")
 
 
+# Deterministic boilerplate payload: crawl pages repeat per-site chrome
+# (footers, cookie banners, subscribe nags) verbatim across documents —
+# the classic corpus-prep target of paragraph-level dedup (CCNet /
+# RefinedWeb publish the recipe). Every third doc carries the same footer
+# span so the operator has guaranteed work at any SF.
+_FOOTER = "subscribe for realtime market data - (c) example exchange 2024"
+_BOILER_MIN_DOCS = 5
+
+_SQL_SPANS_FOOTER = (
+    _SQL_SPANS
+    + f""",
+  spans_f AS (
+    SELECT * FROM spans
+    UNION ALL
+    SELECT doc_id, 'text', '{_FOOTER}', '', 1000000
+    FROM base WHERE did % 3 = 0
+  )
+"""
+)
+
+
+def synth_interleaved_with_footer(docs: DataFrame) -> DataFrame:
+    """The interleaved table plus the shared footer span on every third
+    doc — the deterministic stand-in for site-chrome boilerplate."""
+    footer = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit(_FOOTER).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1_000_000).cast("int").alias("offset"),
+    )
+    inter = synth_interleaved(docs)
+    spans = F.when(
+        F.col("doc_id").cast("long") % 3 == 0,
+        F.array_append(F.col("spans"), footer),
+    ).otherwise(F.col("spans"))
+    return inter.select("doc_id", spans.alias("spans"))
+
+
+@query(
+    "spans_boilerplate_strip",
+    oracle=f"""
+    WITH {_SQL_SPANS_FOOTER},
+    keyed AS (
+      SELECT doc_id, kind, stext, soff,
+             CASE WHEN kind = 'text'
+                  THEN ('0x' || substr(md5(lower(trim(stext))), 1, 15))::BIGINT
+             END AS bkey
+      FROM spans_f
+    ),
+    boiler AS (
+      SELECT bkey FROM keyed WHERE bkey IS NOT NULL
+      GROUP BY bkey HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE b.bkey IS NULL) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE b.bkey IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN b.bkey IS NULL
+                                  THEN coalesce(length(k.stext), 0)
+                                  ELSE 0 END), 0) AS BIGINT) AS chars_kept,
+           coalesce(string_agg(CASE WHEN b.bkey IS NULL
+                                    THEN k.kind || ':' || k.soff END,
+                               '|' ORDER BY k.soff, k.kind), '') AS kept_sig
+    FROM keyed k LEFT JOIN boiler b ON k.bkey = b.bkey
+    GROUP BY doc_id
+    """,
+    doc="span-level boilerplate removal over the INTERLEAVED table — the "
+    "paragraph-dedup move of CCNet/RefinedWeb corpus prep, at span "
+    "granularity: normalize each text span (lower+trim), hash it "
+    "(cross-engine md5 stable_hash64), count DISTINCT docs per hash in "
+    "one partial-aggregated shuffle, and drop text spans whose content "
+    "recurs in >= 5 docs (site chrome); media spans are never dropped. "
+    "The boilerplate set is corpus-dependent and unbounded, so the "
+    "flag-back is a plain equi-join on the hash (AQE decides the "
+    "strategy) — never a forced broadcast, never all-pairs. Output keeps "
+    "one row per doc even when every span dropped (aggregate over the "
+    "flagged explode, not over the survivors).",
+)
+def spans_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    inter = synth_interleaved_with_footer(docs)
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    keyed = ex.withColumn(
+        "bkey",
+        F.when(
+            F.col("s.kind") == "text",
+            stable_hash64(F.lower(F.trim(F.col("s.text")))),
+        ),
+    )
+    boiler = (
+        keyed.filter(F.col("bkey").isNotNull())
+        .groupBy("bkey")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("bkey", F.lit(True).alias("_boiler"))
+    )
+    flagged = keyed.join(boiler, "bkey", "left")
+    kept = F.col("_boiler").isNull()
+    kept_item = F.when(
+        kept,
+        F.struct(
+            F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind")
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.sum(
+            F.when(kept, F.coalesce(F.length("s.text"), F.lit(0))).otherwise(0)
+        )
+        .cast("long")
+        .alias("chars_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_item)),
+                lambda s: F.concat_ws(
+                    ":", s["kind"], s["offset"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("kept_sig"),
+    )
+
+
+# Token budget for truncation: documents carry 10-99 whitespace tokens
+# (median 56), so 48 truncates roughly the upper half while short docs
+# pass through whole — both branches exercised at every SF. A media span
+# costs a fixed 16 tokens (a patch-embedding placeholder budget).
+_TRUNC_BUDGET = 48
+_MEDIA_TOKEN_COST = 16
+
+
+@query(
+    "spans_token_truncate",
+    oracle=f"""
+    WITH {_SQL_SPANS},
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN kind = 'text'
+                  THEN coalesce(len(string_split(stext, ' ')), 0)
+                  ELSE {_MEDIA_TOKEN_COST} END AS tok,
+             soff, kind
+      FROM spans
+    ),
+    cums AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (PARTITION BY doc_id ORDER BY soff, kind
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE cum <= {_TRUNC_BUDGET}) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(CASE WHEN cum <= {_TRUNC_BUDGET} THEN tok END),
+                         0) AS BIGINT) AS tokens_kept,
+           (max(cum) > {_TRUNC_BUDGET}) AS truncated
+    FROM cums GROUP BY doc_id
+    """,
+    doc="token-budget truncation at SPAN boundaries over the interleaved "
+    "table: spans are kept in offset order while the running token total "
+    "stays within the training-sequence budget (48); text spans cost "
+    "their whitespace token count, media spans a fixed 16-token "
+    "patch-embedding budget. The running sum is a per-doc window "
+    "(bounded partitions — a doc's span count is tiny), so the plan is "
+    "one explode, one window over doc_id, one partial-aggregated "
+    "groupBy: no global window, no driver loop, safe at any corpus "
+    "size. Spans are atomic — a span that would cross the budget is "
+    "dropped whole, the multimodal-training constraint that plain "
+    "character truncation violates.",
+)
+def spans_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    inter = synth_interleaved(load_table(spark, sf_dir, "documents"))
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    tok = (
+        F.when(
+            F.col("s.kind") == "text",
+            F.coalesce(F.size(F.split("s.text", " ")), F.lit(0)),
+        )
+        .otherwise(F.lit(_MEDIA_TOKEN_COST))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("s.offset"), F.col("s.kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ex.select(
+        "doc_id", tok.alias("tok"), F.sum(tok).over(w).alias("cum")
+    )
+    within = F.col("cum") <= _TRUNC_BUDGET
+    return staged.groupBy("doc_id").agg(
+        F.sum(within.cast("long")).alias("n_kept"),
+        F.coalesce(F.sum(F.when(within, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        (F.max("cum") > _TRUNC_BUDGET).alias("truncated"),
+    )
+
+
 @query(
     "spans_text_stats",
     oracle=f"""
