@@ -52,6 +52,10 @@ HEADLINE = [
     # explicitly so the fixes show up in BENCH deltas
     "corpus_pack_sequences",
     "neardup_components",
+    # r03 new corpus-prep operators
+    "spans_boilerplate_strip",
+    "spans_token_truncate",
+    "corpus_domain_rebalance",
 ]
 
 
