@@ -56,6 +56,7 @@ HEADLINE = [
     "spans_boilerplate_strip",
     "spans_token_truncate",
     "corpus_domain_rebalance",
+    "interleaved_prep_full",
 ]
 
 

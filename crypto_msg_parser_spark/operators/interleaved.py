@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.testdata import load_table
+from .corpus import PACK_TOKENS
 
 
 def synth_interleaved(docs: DataFrame) -> DataFrame:
@@ -378,6 +379,118 @@ def spans_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
         (F.max("cum") > _TRUNC_BUDGET).alias("truncated"),
+    )
+
+
+@query(
+    "interleaved_prep_full",
+    oracle=f"""
+    WITH {_SQL_SPANS_FOOTER},
+    keyed AS (
+      SELECT doc_id, kind, stext, soff,
+             CASE WHEN kind = 'text'
+                  THEN ('0x' || substr(md5(lower(trim(stext))), 1, 15))::BIGINT
+             END AS bkey
+      FROM spans_f),
+    boiler AS (
+      SELECT bkey FROM keyed WHERE bkey IS NOT NULL
+      GROUP BY bkey HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+    flagged AS (
+      SELECT k.doc_id, k.kind, k.soff,
+             (b.bkey IS NULL) AS kept,
+             CASE WHEN k.kind = 'text'
+                  THEN coalesce(len(string_split(k.stext, ' ')), 0)
+                  ELSE {_MEDIA_TOKEN_COST} END AS tok
+      FROM keyed k LEFT JOIN boiler b ON k.bkey = b.bkey),
+    cums AS (
+      SELECT doc_id, kept, tok,
+             sum(CASE WHEN kept THEN tok ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY soff, kind
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM flagged),
+    perdoc AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) FILTER (WHERE kept AND cum <= {_TRUNC_BUDGET})
+                  AS BIGINT) AS n_spans_final,
+             CAST(coalesce(sum(CASE WHEN kept AND cum <= {_TRUNC_BUDGET}
+                                    THEN tok END), 0) AS BIGINT) AS n_tok
+      FROM cums GROUP BY doc_id)
+    SELECT doc_id, n_spans_final, n_tok,
+           CAST(cum2 - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum2 - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM (SELECT *, sum(n_tok) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM perdoc)
+    """,
+    doc="the INTERLEAVED corpus-prep flagship, one declarative plan: "
+    "boilerplate strip (normalize->hash->distinct-doc count->equi-join "
+    "flag) -> token accounting over the SURVIVING spans (text = "
+    "whitespace tokens, media = fixed 16-token patch budget) -> "
+    "token-budget truncation at span boundaries (conditional running sum "
+    "in a per-doc bounded window: dropped spans advance nothing, spans "
+    "are atomic) -> two-level distributed prefix-sum packing into fixed "
+    "256-token training sequences. Every doc keeps a row even when fully "
+    "stripped. Stage composition is where single-op correctness usually "
+    "breaks (truncation must budget the POST-strip spans; packing must "
+    "offset the POST-truncation totals) — the oracle replays the whole "
+    "chain in closed form. Catalyst sees one tree: the strip join, the "
+    "per-doc window, the pack windows all reuse the doc_id partitioning; "
+    "the only single-partition stage is the pack's per-super-total "
+    "window (n_docs/2^20 rows).",
+)
+def interleaved_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.scalar import stable_hash64
+    from .corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    inter = synth_interleaved_with_footer(docs)
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    keyed = ex.withColumn(
+        "bkey",
+        F.when(
+            F.col("s.kind") == "text",
+            stable_hash64(F.lower(F.trim(F.col("s.text")))),
+        ),
+    )
+    boiler = (
+        keyed.filter(F.col("bkey").isNotNull())
+        .groupBy("bkey")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("bkey", F.lit(True).alias("_boiler"))
+    )
+    flagged = keyed.join(boiler, "bkey", "left")
+    kept = F.col("_boiler").isNull()
+    tok = (
+        F.when(
+            F.col("s.kind") == "text",
+            F.coalesce(F.size(F.split("s.text", " ")), F.lit(0)),
+        )
+        .otherwise(F.lit(_MEDIA_TOKEN_COST))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("s.offset"), F.col("s.kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.when(kept, tok).otherwise(F.lit(0))).over(w)
+    staged = flagged.select(
+        "doc_id", kept.alias("kept"), tok.alias("tok"), cum.alias("cum")
+    )
+    within = F.col("kept") & (F.col("cum") <= _TRUNC_BUDGET)
+    perdoc = staged.groupBy(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).agg(
+        F.sum(within.cast("long")).alias("n_spans_final"),
+        F.coalesce(F.sum(F.when(within, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return pack_sequences(perdoc).select(
+        "doc_id", "n_spans_final", "n_tok", "start_offset", "pack_id"
     )
 
 

@@ -135,7 +135,9 @@ _PRIORITY = [
     "parse_okx_v3_swap_trade",
     "parse_deribit_inverse_trade",
     "route_mixed_exchanges",
-    "candles_recompute_1m",
+    # interleaved-axis composed flagship (candles_recompute_1m yields its
+    # slot: it holds an r01 driver-green row and is unchanged since)
+    "interleaved_prep_full",
     # crawl family (local-oracle-only in r02)
     "url_canonicalize",
     "frontier_seen_dedup",
