@@ -467,3 +467,63 @@ def test_robots_rfc9309_longest_match_and_wildcards(spark):
     }
     for p, want, why in cases:
         assert got[p] == want, f"{p}: {why} (got {got[p]})"
+
+
+def test_robots_wild_match_differential_fuzz(spark):
+    """Differential check of the Catalyst greedy-segment wildcard matcher
+    against an independent regex-translation reference (the RFC 9309 rule
+    semantics: '*' = any run, trailing '$' = end anchor, else prefix) over
+    seeded-random and adversarial (path, pattern) pairs — one Spark job."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.robots import _wild_match
+
+    rng = random.Random(9309)
+    pairs = []
+    for _ in range(4000):
+        path = "/" + "".join(
+            rng.choice("ab/") for _ in range(rng.randrange(0, 10))
+        )
+        pat = "".join(rng.choice("ab/*") for _ in range(rng.randrange(0, 8)))
+        if rng.random() < 0.3:
+            pat += "$"
+        pairs.append((path, pat))
+    pairs += [
+        ("/abab", "a*b$"),
+        ("/ab", "*"),
+        ("/ab", "**"),
+        ("/", "$"),
+        ("/a", "/a$"),
+        ("/aa", "/a$"),
+        ("/abc", "*c$"),
+        ("/b", "b"),
+        ("/ab/ab", "/a*/a*"),
+        ("/aaa", "a*a*a$"),
+        ("/ab", "/ab*$"),
+        ("/ab", "*a*b*"),
+        ("/ba", "*a*b*"),
+    ]
+
+    def ref(path: str, pat: str) -> bool:
+        end = pat.endswith("$")
+        core = pat[:-1] if end else pat
+        rx = (
+            "^"
+            + ".*".join(re.escape(s) for s in core.split("*"))
+            + ("$" if end else "")
+        )
+        return re.search(rx, path) is not None
+
+    df = spark.createDataFrame(pairs, "path string, pat string")
+    got = df.select(
+        "path", "pat", _wild_match(F.col("path"), F.col("pat")).alias("m")
+    ).collect()
+    bad = [
+        (r["path"], r["pat"], bool(r["m"]), ref(r["path"], r["pat"]))
+        for r in got
+        if bool(r["m"]) != ref(r["path"], r["pat"])
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
