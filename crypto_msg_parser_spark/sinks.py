@@ -226,3 +226,42 @@ def compact_orderbook(df: DataFrame, quantity_choice: str = "base") -> DataFrame
         "seq_id",
         "prev_seq_id",
     )
+
+
+LAKE_PARTITIONS = ["exchange", "market_type", "msg_type", "dt"]
+
+
+def write_parquet_lake(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Columnar archive of parsed messages partitioned
+    exchange/market_type/msg_type/UTC-day — the layout that keeps a
+    100 TB archive's reads proportional to the slice queried: filters on
+    the partition columns become PartitionFilters (whole directories
+    pruned, no file outside the slice ever opened) and filters on data
+    columns become parquet PushedFilters (row-group pruning). The day
+    derives from the message timestamp (ms), so late or backfilled data
+    lands in its EVENT-TIME partition regardless of arrival; `append`
+    mode makes re-runs of an ingest epoch additive per partition.
+    `maxRecordsPerFile` bounds file size so a hot (exchange, day) cell
+    splits into parallel-scannable files instead of one giant one."""
+    out = df.withColumn(
+        "dt", F.to_date(F.timestamp_millis(F.col("timestamp")))
+    )
+    (
+        out.write.partitionBy(*LAKE_PARTITIONS)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_parquet_lake(spark, path: str) -> DataFrame:
+    """Read the archive back; partition columns come back as directory
+    columns, everything else from parquet. Filter on LAKE_PARTITIONS
+    members to prune directories (assert-able via PartitionFilters in the
+    scan plan)."""
+    return spark.read.parquet(path)
