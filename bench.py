@@ -57,6 +57,7 @@ HEADLINE = [
     "spans_token_truncate",
     "corpus_domain_rebalance",
     "interleaved_prep_full",
+    "l2_book_reconstruct",
 ]
 
 

@@ -442,6 +442,71 @@ def l2_seq_gap_detect(spark, sf_dir):
 
 
 @query(
+    "l2_book_reconstruct",
+    oracle=f"""
+    WITH src AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             l_orderkey * 100 + l_linenumber AS seq_id,
+             l_extendedprice AS p, CAST(l_quantity AS DOUBLE) AS q
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    lv AS (
+      SELECT symbol, seq_id, 'bid' AS side, round(p - 1, 2) AS price, q AS qty
+      FROM src
+      UNION ALL SELECT symbol, seq_id, 'bid', round(p - 2, 2), q + 1 FROM src
+      UNION ALL SELECT symbol, seq_id, 'ask', round(p + 1, 2), q FROM src
+      UNION ALL SELECT symbol, seq_id, 'ask', round(p + 2, 2), q + 1 FROM src),
+    eff AS (
+      SELECT symbol, side, price, seq_id,
+             CASE WHEN seq_id % 10 = 3 THEN 0 ELSE qty END AS qty
+      FROM lv),
+    last AS (
+      SELECT symbol, side, price,
+             arg_max(qty, seq_id) AS qty,
+             max(seq_id) AS last_seq
+      FROM eff GROUP BY symbol, side, price)
+    SELECT symbol, side, price, qty, last_seq FROM last WHERE qty > 0
+    """,
+    doc="order-book reconstruction from the parsed incremental depth "
+    "stream — the stateful consumer loop of every reference user "
+    "(apply each delta; qty 0 deletes the level; binance_all.rs depth "
+    "semantics), re-expressed Spark-first as a LAST-WRITE-WINS "
+    "aggregation: explode levels, keep max_by(qty, seq_id) per "
+    "(symbol, side, price), drop zero-qty levels. One shuffle on the "
+    "book key, full map-side partial aggregation, no per-row state, no "
+    "ordering requirement on the input — the property that makes the "
+    "same plan correct over an out-of-order 100 TB replay where a "
+    "sequential fold would need a total sort. Deletions are modeled "
+    "deterministically (seq_id % 10 = 3 => qty 0) so the delete path is "
+    "exercised at every SF.",
+)
+def l2_book_reconstruct(spark, sf_dir):
+    raw = _l2_msgs(spark, sf_dir)
+    parsed = binance.parse_l2(raw)
+    asks = parsed.select(
+        "symbol", "seq_id", F.lit("ask").alias("side"),
+        F.explode("asks").alias("lv"),
+    )
+    bids = parsed.select(
+        "symbol", "seq_id", F.lit("bid").alias("side"),
+        F.explode("bids").alias("lv"),
+    )
+    lv = asks.unionByName(bids).select(
+        "symbol",
+        "side",
+        F.col("lv.price").alias("price"),
+        "seq_id",
+        F.when(F.col("seq_id") % 10 == 3, F.lit(0.0))
+        .otherwise(F.col("lv.quantity_base"))
+        .alias("qty"),
+    )
+    book = lv.groupBy("symbol", "side", "price").agg(
+        F.max_by("qty", "seq_id").alias("qty"),
+        F.max("seq_id").alias("last_seq"),
+    )
+    return book.filter(F.col("qty") > 0)
+
+
+@query(
     "binance_router",
     oracle=f"""
     SELECT l_orderkey || ':' || l_linenumber AS msg_id,
