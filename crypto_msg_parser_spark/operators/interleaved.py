@@ -489,6 +489,12 @@ def interleaved_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
+    # pack_sequences references its input three times (local cumsum, leaf
+    # totals, offsets join); without a barrier Catalyst re-evaluates the
+    # whole strip+truncate subtree per reference (measured: 22 exchanges,
+    # 3 copies). The per-doc frame is 3 longs/doc — the cheap thing to
+    # materialize — so the expensive subtree runs exactly once.
+    perdoc = perdoc.localCheckpoint(eager=False)
     return pack_sequences(perdoc).select(
         "doc_id", "n_spans_final", "n_tok", "start_offset", "pack_id"
     )
