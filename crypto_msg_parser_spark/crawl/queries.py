@@ -467,6 +467,110 @@ def frontier_seen_batch_replay(spark, sf_dir):
     return spark.sql(f"SELECT canonical, url_hash FROM {name}")
 
 
+_SQL_DUP_HOST = _SQL_HOST.replace("p_partkey", "(p_partkey % 211)")
+
+
+@query(
+    "crawl_stream_docs_replay",
+    oracle=f"""
+    WITH seen AS (
+      SELECT DISTINCT {_SQL_DUP_URL} AS canonical,
+             {_SQL_DUP_HOST} AS host
+      FROM part),
+    r AS (
+      SELECT canonical, host,
+             ('0x' || substr(md5(canonical), 1, 15))::BIGINT AS rank
+      FROM seen),
+    b AS (
+      SELECT host || ':0:' || CAST(rank AS VARCHAR) AS doc_id, rank,
+             '{{"url":"' || canonical || '","host":"' || host
+               || '","seq":' || CAST(rank AS VARCHAR) || '}}' AS body
+      FROM r)
+    SELECT doc_id,
+           CAST(CASE WHEN rank % 7 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_spans,
+           body AS reassembled,
+           CASE WHEN rank % 7 = 0 THEN 'media/' || doc_id || '.svg'
+                ELSE '' END AS media_ref
+    FROM b
+    """,
+    doc="END-TO-END streaming crawl as a driver row (the axes A+B "
+    "composition): duplicate-heavy URL stream -> keyed-state seen dedup "
+    "(applyInPandasWithState) -> mapInPandas fetch -> INTERLEAVED span "
+    "documents, drained under Trigger.availableNow, then the landed "
+    "table's span-sequence invariant is checked by value: per doc the "
+    "span count, the offset-ordered text reassembly (must equal the "
+    "fetched body byte-for-byte), and the media ref. The oracle rebuilds "
+    "every field in closed form from the seed construction — exactly-once "
+    "dedup, doc_id = host:epoch:url_hash stability, span order, and the "
+    "rank%7 media emission are all load-bearing.",
+)
+def crawl_stream_docs_replay(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        crawl_stream_to_docs,
+    )
+
+    k = F.col("p_partkey") % 211
+    p = load_table(spark, sf_dir, "part")
+    urls = p.select(
+        F.concat(
+            F.lit("https://"),
+            _host(k),
+            F.lit("/api/symbols?id="),
+            k.cast("string"),
+        ).alias("url"),
+        _host(k).alias("host"),
+        (k % 3).cast("int").alias("priority"),
+        F.lit(50).cast("int").alias("rate_budget_per_min"),
+    )
+    src = tempfile.mkdtemp(prefix="docs_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="docs_stream_ckpt_")
+    name = f"docs_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        urls.repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(FRONTIER_URLS_DDL)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        q = (
+            crawl_stream_to_docs(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    docs = spark.sql(f"SELECT doc_id, spans FROM {name}")
+    ex = docs.select("doc_id", F.explode("spans").alias("s"))
+    item = F.struct(
+        F.col("s.offset").alias("o"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("t"),
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda s: s["t"]
+            ),
+            "",
+        ).alias("reassembled"),
+        F.max(F.coalesce(F.col("s.media_ref"), F.lit(""))).alias(
+            "media_ref"
+        ),
+    )
+
+
 @query(
     "host_skew_stats",
     oracle=f"""

@@ -138,8 +138,10 @@ _PRIORITY = [
     # interleaved-axis composed flagship (candles_recompute_1m yields its
     # slot: it holds an r01 driver-green row and is unchanged since)
     "interleaved_prep_full",
-    # crawl family (local-oracle-only in r02)
-    "url_canonicalize",
+    # crawl family (local-oracle-only in r02). url_canonicalize yields its
+    # slot to the end-to-end streaming crawl->interleaved-docs composition
+    # (canonicalization is exercised inside every other sampled crawl row)
+    "crawl_stream_docs_replay",
     "frontier_seen_dedup",
     "cuckoo_frontier_dedup",
     "robots_gate",
