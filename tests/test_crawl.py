@@ -527,3 +527,71 @@ def test_robots_wild_match_differential_fuzz(spark):
         if bool(r["m"]) != ref(r["path"], r["pat"])
     ]
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def test_canonicalize_differential_fuzz(spark):
+    """Differential check of the staged Catalyst canonicalizer against an
+    independent Python reference of its documented 6 steps (lowercase
+    scheme+host, drop fragment, drop default port, bytewise query-param
+    sort, strip one trailing slash off a non-root path, drop empty
+    query) over seeded-random and adversarial URLs — one Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.crawl.canonicalize import canonicalize_df
+
+    def ref(url: str) -> str:
+        nf = url.split("#", 1)[0]
+        scheme, _, after = nf.partition("://")
+        scheme = scheme.lower()
+        cut = len(after)
+        for sep in ("/", "?"):
+            i = after.find(sep)
+            if i != -1:
+                cut = min(cut, i)
+        auth, pq = after[:cut].lower(), after[cut:]
+        if scheme == "https" and auth.endswith(":443"):
+            auth = auth[:-4]
+        elif scheme == "http" and auth.endswith(":80"):
+            auth = auth[:-3]
+        path, _, query = pq.partition("?")
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        if path == "":
+            path = "/"
+        sq = "&".join(sorted(query.split("&"))) if query else ""
+        return f"{scheme}://{auth}{path}" + (f"?{sq}" if sq else "")
+
+    rng = random.Random(4242)
+    hosts = ["API.Binance.com", "www.okx.com:443", "x.io:80", "a.b:8080"]
+    urls = []
+    for _ in range(3000):
+        u = rng.choice(["https", "HTTP", "http", "HTTPS"]) + "://"
+        u += rng.choice(hosts)
+        u += "".join(rng.choice("ab/") for _ in range(rng.randrange(0, 6)))
+        if rng.random() < 0.5:
+            n = rng.randrange(1, 4)
+            u += "?" + "&".join(
+                f"{rng.choice('zyx')}={rng.randrange(9)}" for _ in range(n)
+            )
+        if rng.random() < 0.3:
+            u += "#frag" + str(rng.randrange(9))
+        urls.append(u)
+    urls += [
+        "https://API.EXAMPLE.com:443/",
+        "http://a.b:80",
+        "https://a.b:8443/p/",
+        "https://a.b/p?b=2&a=1&a=0",
+        "https://a.b/?",
+        "https://a.b#only-frag",
+        "HTTPS://UP.CASE/PathStaysCased/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = canonicalize_df(df).select("url", "canonical").collect()
+    bad = [
+        (r["url"], r["canonical"], ref(r["url"]))
+        for r in got
+        if r["canonical"] != ref(r["url"])
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
