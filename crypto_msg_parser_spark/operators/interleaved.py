@@ -536,3 +536,87 @@ def spans_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_tokens"),
     )
+
+
+from .scrub import _SQL_AUG as _SQL_PII_AUG  # noqa: E402
+from .scrub import _sql_scrub as _sql_pii_scrub  # noqa: E402
+
+
+@query(
+    "spans_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_PII_AUG} AS text FROM documents
+    ),
+    base AS (
+      SELECT doc_id AS did, doc_id::VARCHAR AS doc_id, text,
+             length(text) AS L, CAST(length(text) // 2 AS INT) AS h
+      FROM aug
+    ),
+    spans AS (
+      SELECT doc_id, 'text' AS kind,
+             {_sql_pii_scrub("substr(text, 1, h)")} AS stext,
+             '' AS media_ref, 0 AS soff FROM base
+      UNION ALL
+      SELECT doc_id, 'text', {_sql_pii_scrub("substr(text, h + 1, L)")}, '', h
+      FROM base
+      UNION ALL
+      SELECT doc_id, 'media', NULL,
+             'media/' || doc_id || CASE WHEN did % 14 = 0
+                                        THEN '.svg' ELSE '.bin' END,
+             L
+      FROM base WHERE did % 7 = 0
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             string_agg(kind || ':' || soff || ':' || coalesce(media_ref, ''),
+                        '|' ORDER BY soff, kind, coalesce(media_ref, '')) AS seq_sig,
+             coalesce(string_agg(stext, '' ORDER BY soff, coalesce(stext, '')),
+                      '') AS scrubbed_text
+      FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, seq_sig, scrubbed_text,
+           CAST(len(regexp_extract_all(scrubbed_text, '<(EMAIL|PHONE|IP)>'))
+                AS BIGINT) AS n_redactions
+    FROM agg
+    """,
+    doc="PII redaction applied IN PLACE over the interleaved payload "
+    "(input_hint table): each text span is scrubbed independently; media "
+    "spans and the (kind, offset, media_ref) sequence are untouched — the "
+    "seq_sig column IS the north-rule span-sequence-equality proof that "
+    "the transformation preserved span order. Contract: a PII token that "
+    "straddles a span boundary is NOT redacted (spans are scrubbed "
+    "independently, exactly like a page-shard boundary in a real crawl "
+    "store); both engines compute the identical per-span closed form.",
+)
+def spans_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scrub import _augmented_text, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("text"))
+    inter = synth_interleaved(aug)
+    scrubbed = inter.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", scrub_pii(s["text"]))
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    sig = span_sequence_signature(scrubbed)
+    return sig.select(
+        "doc_id",
+        "n_spans",
+        "seq_sig",
+        F.col("reassembled").alias("scrubbed_text"),
+        F.regexp_count("reassembled", F.lit("<(EMAIL|PHONE|IP)>"))
+        .cast("long")
+        .alias("n_redactions"),
+    )

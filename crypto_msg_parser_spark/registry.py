@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "crypto_msg_parser_spark.operators.multimodal",
     "crypto_msg_parser_spark.operators.interleaved",
     "crypto_msg_parser_spark.operators.corpus",
+    "crypto_msg_parser_spark.operators.scrub",
     "crypto_msg_parser_spark.operators.asof",
     "crypto_msg_parser_spark.parser.queries",
     "crypto_msg_parser_spark.crawl.queries",
