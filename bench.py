@@ -58,6 +58,14 @@ HEADLINE = [
     "corpus_domain_rebalance",
     "interleaved_prep_full",
     "l2_book_reconstruct",
+    # r03 scrub/discovery additions: PII redaction (flat + in-span),
+    # duplicated-window detection, interleaved near-dup composition,
+    # sitemap frontier discovery
+    "pii_scrub",
+    "spans_pii_scrub",
+    "dup_ngram_windows",
+    "interleaved_neardup",
+    "sitemap_extract",
 ]
 
 

@@ -594,3 +594,90 @@ def host_skew_stats(spark, sf_dir):
             F.ceil(F.col("n_urls") / 100.0).cast("long").alias("n_salts"),
         )
     )
+
+
+def _sm_entry_sql(off: int) -> str:
+    kk = f"(k + {off})"
+    return (
+        "'<url><loc>HTTPS://' || upper(host) || ':443/market/Depth?id=' || "
+        f"CAST({kk} AS VARCHAR) || '&limit=5#frag</loc><lastmod>2024-' || "
+        f"lpad(CAST({kk} % 12 + 1 AS VARCHAR), 2, '0') || '-' || "
+        f"lpad(CAST({kk} % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>'"
+    )
+
+
+@query(
+    "sitemap_extract",
+    oracle=f"""
+    WITH base AS (SELECT p_partkey AS k, {_SQL_HOST} AS host FROM part),
+    sm AS (
+      SELECT host,
+             '<urlset>' || {_sm_entry_sql(0)} || {_sm_entry_sql(1)}
+                        || {_sm_entry_sql(2)} || '</urlset>' AS body
+      FROM base),
+    ex AS (
+      SELECT host, unnest(regexp_extract_all(body, '<url>(.*?)</url>', 1)) AS u
+      FROM sm),
+    parsed AS (
+      SELECT host,
+             regexp_extract(u, '<loc>([^<]+)</loc>', 1) AS loc,
+             regexp_extract(u, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+      FROM ex)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(count(DISTINCT {sql_canonical_url("loc")}) AS BIGINT)
+             AS n_distinct_urls,
+           max(lastmod) AS latest_lastmod
+    FROM parsed GROUP BY host
+    """,
+    doc="sitemap ingestion for frontier discovery: per-host sitemap XML "
+    "pages (synthesized in-plan; consecutive pages overlap by 2 of 3 "
+    "entries, locs carry case/default-port/fragment noise) -> "
+    "regexp-extract <url> entries -> loc/lastmod parse -> canonicalize -> "
+    "per-host distinct-URL count + freshness. The XML never leaves the "
+    "row it arrived in (codegen'd regex, no Python, no pre-shuffle "
+    "explode of the raw body); the only shuffle is the final partial-agg "
+    "groupBy(host). Real crawls feed n_distinct_urls straight into the "
+    "seen-set anti-join (frontier_seen_dedup).",
+)
+def sitemap_extract(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    host = _host()
+
+    def entry(off: int):
+        kk = k + off
+        return F.concat(
+            F.lit("<url><loc>HTTPS://"),
+            F.upper(host),
+            F.lit(":443/market/Depth?id="),
+            kk.cast("string"),
+            F.lit("&limit=5#frag</loc><lastmod>2024-"),
+            F.lpad((kk % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((kk % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url>"),
+        )
+
+    sm = p.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("<urlset>"), entry(0), entry(1), entry(2), F.lit("</urlset>")
+        ).alias("body"),
+    )
+    ex = sm.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all("body", F.lit("<url>(.*?)</url>"), 1)
+        ).alias("u"),
+    )
+    parsed = ex.select(
+        "host",
+        F.regexp_extract("u", "<loc>([^<]+)</loc>", 1).alias("loc"),
+        F.regexp_extract("u", "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct(canonical_url(F.col("loc"))).alias("n_distinct_urls"),
+        F.max("lastmod").alias("latest_lastmod"),
+    )

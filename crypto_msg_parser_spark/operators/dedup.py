@@ -243,9 +243,7 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 
 
-@query(
-    "neardup_minhash_lsh",
-    oracle=f"""
+NEARDUP_LSH_ORACLE = f"""
     WITH reps AS ({_SQL_REPS}),
     hashed AS ({_SQL_HASHED}),
     sig AS ({_SQL_SIG}),
@@ -264,7 +262,12 @@ _SQL_BANDS = " UNION ALL ".join(
       JOIN hashed wa ON wa.doc_id = c.doc_a
       JOIN hashed wb ON wb.doc_id = c.doc_b)
     WHERE jaccard >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "neardup_minhash_lsh",
+    oracle=NEARDUP_LSH_ORACLE,
     doc="near-dup pairs over exact-dedup REPRESENTATIVES (min doc_id per "
     "content hash): bigram-shingle MinHash -> LSH banding -> bucket pair "
     "expansion -> shingle-set Jaccard verify on candidates only, computed "
@@ -279,7 +282,15 @@ _SQL_BANDS = " UNION ALL ".join(
     "identical docs.",
 )
 def neardup_minhash_lsh(spark, sf_dir, checkpoint_dir: str | None = None):
-    raw_docs = load_table(spark, sf_dir, "documents")
+    return lsh_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), checkpoint_dir
+    )
+
+
+def lsh_neardup_pairs(raw_docs, checkpoint_dir: str | None = None):
+    """The LSH near-dup core over ANY (doc_id, text) frame — shared by the
+    flat-documents query above and the interleaved-payload variant
+    (operators.interleaved.interleaved_neardup)."""
     # ONE md5 pass: representatives' shingle sets are hashed once and that
     # array feeds every consumer — all 8 minhash permutations (xor-min) AND
     # both sides of the Jaccard verify. Round 1 ran 8 separate md5 passes

@@ -620,3 +620,29 @@ def spans_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redactions"),
     )
+
+
+from ..operators.dedup import NEARDUP_LSH_ORACLE, lsh_neardup_pairs  # noqa: E402
+
+
+@query(
+    "interleaved_neardup",
+    oracle=NEARDUP_LSH_ORACLE,
+    doc="near-dup detection over the INTERLEAVED payload: explode spans, "
+    "reassemble each doc's text in span order (one groupBy(doc_id) "
+    "shuffle), then the shared bigram-shingle MinHash-LSH core "
+    "(dedup.lsh_neardup_pairs). The oracle is the flat-documents LSH "
+    "closed form — legal because span reassembly is exactly "
+    "text-preserving (the roundtrip_ok invariant of "
+    "spans_interleave_roundtrip), so a reassembly bug surfaces as an "
+    "LSH-pair mismatch here. Composition row: payload axis (interleaved "
+    "spans) x dedup axis, one declarative plan.",
+)
+def interleaved_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    inter = synth_interleaved(docs)
+    reassembled = span_sequence_signature(inter).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("reassembled").alias("text"),
+    )
+    return lsh_neardup_pairs(reassembled)

@@ -146,11 +146,16 @@ _PRIORITY = [
     "frontier_seen_dedup",
     "cuckoo_frontier_dedup",
     "robots_gate",
-    "host_skew_stats",
+    # interleaved-axis composition rows new this round; host_skew_stats
+    # yields its slot (its family holds politeness/cuckoo/robots rows and
+    # the plan is a plain partial-agg groupBy)
+    "interleaved_neardup",
     "frontier_checkpoint_resume",
     # asof / range (r01-green, not resampled)
     "asof_join_purchase_view",
-    "range_join_error_follow",
+    # range_join_error_follow yields its slot (r01 driver-green, plan
+    # unchanged since) to the in-span PII redaction row
+    "spans_pii_scrub",
     # rows NEW this round (streaming watermark semantics, seq-gap QA,
     # bloom prefilter) — never driver-sampled before, so they outrank
     # anchors whose family already holds other r02-green rows
