@@ -66,6 +66,8 @@ HEADLINE = [
     "dup_ngram_windows",
     "interleaved_neardup",
     "sitemap_extract",
+    # iterative pointer-doubling resolver (O(log L) self-joins)
+    "redirect_resolve",
 ]
 
 

@@ -681,3 +681,156 @@ def sitemap_extract(spark, sf_dir):
         F.countDistinct(canonical_url(F.col("loc"))).alias("n_distinct_urls"),
         F.max("lastmod").alias("latest_lastmod"),
     )
+
+
+@query(
+    "redirect_resolve",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS src,
+             CASE WHEN p_partkey % 4 <> 0 THEN p_partkey - 1
+                  ELSE p_partkey END AS nxt
+      FROM part),
+    walk AS (
+      SELECT src, src AS cur, 0 AS hops FROM edges
+      UNION ALL
+      SELECT w.src, e.nxt, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE e.nxt <> w.cur),
+    resolved AS (
+      SELECT w.src, w.cur AS term, w.hops
+      FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE e.nxt = w.cur)
+    SELECT 'https://api.binance.com/r/' || CAST(src AS VARCHAR) AS url,
+           'https://api.binance.com/r/' || CAST(term AS VARCHAR) AS terminal_url,
+           CAST(hops AS BIGINT) AS hops
+    FROM resolved
+    """,
+    doc="HTTP redirect-chain resolution over the frontier's 3xx map: "
+    "pointer doubling (f := f o f each round, like the connected-"
+    "components min-label trick) resolves chains of length L in O(log L) "
+    "self-joins instead of L sequential ones — each round is one "
+    "equi-join + a 1-row convergence scalar, so a 10-round budget covers "
+    "chains to 2^10 at any corpus size. A redirect CYCLE never converges "
+    "and is reported as RuntimeError at the iteration cap rather than "
+    "silently mis-resolving. Oracle = an independent recursive-CTE walk.",
+)
+def redirect_resolve(spark, sf_dir, max_iters: int = 10,
+                     checkpoint_dir: str | None = None):
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    edges = p.select(
+        k.alias("src"),
+        F.when(k % 4 != 0, k - 1).otherwise(k).alias("nxt"),
+        F.when(k % 4 != 0, 1).otherwise(0).cast("long").alias("h"),
+    )
+    m = resolve_pointer_doubling(edges, max_iters, checkpoint_dir)
+    pre = F.lit("https://api.binance.com/r/")
+    return m.select(
+        F.concat(pre, F.col("src").cast("string")).alias("url"),
+        F.concat(pre, F.col("nxt").cast("string")).alias("terminal_url"),
+        F.col("h").cast("long").alias("hops"),
+    )
+
+
+def resolve_pointer_doubling(edges, max_iters: int = 10,
+                             checkpoint_dir: str | None = None):
+    """Resolve a total (src -> nxt, h) one-step map to its fixpoint by
+    pointer doubling. Raises at the iteration cap (cycle, or chain longer
+    than 2^max_iters)."""
+    from crypto_msg_parser_spark.operators.dedup import _barrier
+
+    m = _barrier(edges, checkpoint_dir)
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        b = m.select(
+            F.col("src").alias("b_src"),
+            F.col("nxt").alias("b_nxt"),
+            F.col("h").alias("b_h"),
+        )
+        m = _barrier(
+            m.join(b, F.col("nxt") == F.col("b_src")).select(
+                "src",
+                F.col("b_nxt").alias("nxt"),
+                (F.col("h") + F.col("b_h")).alias("h"),
+            ),
+            checkpoint_dir,
+        )
+        tot = m.agg(F.sum("h")).head()[0]  # 1-row scalar, loop control only
+        if prev is not None and tot == prev:
+            converged = True
+            break
+        prev = tot
+    if not converged:
+        raise RuntimeError(
+            f"redirect_resolve: no fixpoint after {max_iters} doubling "
+            "rounds — redirect cycle or chain longer than "
+            f"2^{max_iters}; raise max_iters"
+        )
+    return m
+
+
+@query(
+    "recrawl_backoff",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey AS k, {_SQL_FRONTIER_URL} AS url FROM part),
+    ep AS (
+      SELECT k, url,
+             md5(url || '#e0') AS h0,
+             md5(url || CASE WHEN k % 3 = 0 THEN '#e1' ELSE '#e0' END) AS h1,
+             (60 + 60 * (k % 5)) AS base_s
+      FROM f)
+    SELECT url,
+           (h0 <> h1) AS changed,
+           CAST(base_s AS BIGINT) AS old_interval_s,
+           CAST(CASE WHEN h0 <> h1 THEN greatest(base_s // 2, 60)
+                     ELSE least(base_s * 2, 86400) END AS BIGINT)
+             AS new_interval_s,
+           CAST(1700000000000 + 1000 * CASE WHEN h0 <> h1
+                     THEN greatest(base_s // 2, 60)
+                     ELSE least(base_s * 2, 86400) END AS BIGINT)
+             AS next_fetch_ms
+    FROM ep
+    """,
+    doc="freshness-driven recrawl scheduling (Cho & Garcia-Molina style "
+    "multiplicative backoff): compare the content fingerprint of the last "
+    "two crawl epochs per URL; a change halves the recrawl interval "
+    "(floor 60 s), no change doubles it (cap 1 day), and the next-fetch "
+    "timestamp feeds straight back into the politeness scheduler. Pure "
+    "per-row column math over the frontier — no shuffle, codegen'd.",
+)
+def recrawl_backoff(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    k = F.col("p_partkey")
+    h0 = F.md5(F.concat(F.col("url"), F.lit("#e0")))
+    h1 = F.md5(
+        F.concat(
+            F.col("url"),
+            F.when(k % 3 == 0, F.lit("#e1")).otherwise(F.lit("#e0")),
+        )
+    )
+    base = F.lit(60) + F.lit(60) * (k % 5)
+    ep = f.select(
+        "url",
+        (h0 != h1).alias("changed"),
+        base.cast("long").alias("old_interval_s"),
+    )
+    new_s = (
+        F.when(
+            F.col("changed"),
+            F.greatest(F.floor(F.col("old_interval_s") / 2), F.lit(60)),
+        )
+        .otherwise(F.least(F.col("old_interval_s") * 2, F.lit(86400)))
+        .cast("long")
+    )
+    return ep.select(
+        "url",
+        "changed",
+        "old_interval_s",
+        new_s.alias("new_interval_s"),
+        (F.lit(1700000000000) + F.lit(1000) * new_s)
+        .cast("long")
+        .alias("next_fetch_ms"),
+    )

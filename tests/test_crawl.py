@@ -595,3 +595,50 @@ def test_canonicalize_differential_fuzz(spark):
         if r["canonical"] != ref(r["url"])
     ]
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def test_redirect_resolve_matches_closed_form(spark):
+    from crypto_msg_parser_spark.crawl.queries import redirect_resolve
+
+    rows = redirect_resolve(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        k = int(r.url.rsplit("/", 1)[1])
+        term = int(r.terminal_url.rsplit("/", 1)[1])
+        assert term == k - (k % 4)
+        assert r.hops == k % 4
+
+
+def test_redirect_resolve_cycle_raises(spark):
+    from pyspark.sql import Row
+
+    from crypto_msg_parser_spark.crawl.queries import resolve_pointer_doubling
+
+    # 0 -> 1 -> 2 -> 0: a redirect cycle must hit the iteration cap,
+    # never silently emit a bogus terminal
+    edges = spark.createDataFrame(
+        [Row(src=0, nxt=1, h=1), Row(src=1, nxt=2, h=1), Row(src=2, nxt=0, h=1)]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        resolve_pointer_doubling(edges, max_iters=5).collect()
+
+
+def test_redirect_resolve_long_chain_log_rounds(spark):
+    from pyspark.sql import Row
+
+    from crypto_msg_parser_spark.crawl.queries import resolve_pointer_doubling
+
+    # chain of length 40: 40 -> 39 -> ... -> 0; pointer doubling must
+    # resolve it within ceil(log2(40)) + 1 = 7 rounds, far below a
+    # 40-round sequential walk
+    edges = spark.createDataFrame(
+        [Row(src=i, nxt=max(i - 1, 0), h=1 if i > 0 else 0) for i in range(41)]
+    )
+    got = {
+        r.src: (r.nxt, r.h)
+        for r in resolve_pointer_doubling(edges, max_iters=7).collect()
+    }
+    assert got[40] == (0, 40)
+    assert got[0] == (0, 0)
