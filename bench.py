@@ -68,6 +68,8 @@ HEADLINE = [
     "sitemap_extract",
     # iterative pointer-doubling resolver (O(log L) self-joins)
     "redirect_resolve",
+    # integer-arithmetic PageRank, 3 power iterations (join+agg each)
+    "pagerank_priority",
 ]
 
 

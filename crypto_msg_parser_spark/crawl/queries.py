@@ -834,3 +834,68 @@ def recrawl_backoff(spark, sf_dir):
         .cast("long")
         .alias("next_fetch_ms"),
     )
+
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # rank unit = 1e-6 ("micro-rank"); all math integer
+
+
+def _sql_pr_edges() -> str:
+    n = "(SELECT count(*) FROM part)"
+    return (
+        f"SELECT p_partkey AS src, (p_partkey + 1) % {n} AS dst FROM part "
+        f"UNION ALL "
+        f"SELECT p_partkey, (p_partkey * 7 + 3) % {n} FROM part"
+    )
+
+
+def _sql_pr_oracle() -> str:
+    ctes = [f"e AS ({_sql_pr_edges()})",
+            f"r0 AS (SELECT p_partkey AS node, {_PR_SCALE} AS r FROM part)"]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"150000 + (17 * sum(p.r // 2)) // 20 AS r "
+            f"FROM e JOIN r{i} p ON p.node = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{_PR_ITERS}"
+    )
+
+
+@query(
+    "pagerank_priority",
+    oracle=_sql_pr_oracle(),
+    doc="link-analysis crawl prioritization: PageRank over the frontier's "
+    "link graph (PageRank-ordered crawling is the published baseline for "
+    "frontier scheduling — Cho/Garcia-Molina/Page crawl-ordering study), "
+    f"{_PR_ITERS} power iterations, damping 0.85. All arithmetic is "
+    "INTEGER micro-rank units (r//outdeg per edge, 17*sum//20 damping): "
+    "integer sums are associative, so the result is bit-identical in any "
+    "engine and under any Spark partial-agg order — the float version "
+    "would drift in the last ulp and fail a value-hash compare. Each "
+    "iteration = one equi-join + partial-agg groupBy on dst; the rank "
+    "table is (node, long), never collected. The synthetic graph gives "
+    "every node out-degree 2 and >=1 in-edge ((k+1) mod n is a bijection) "
+    "so no dangling-mass term is needed.",
+)
+def pagerank_priority(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    n = p.count()  # plan literal, same convention as tfidf's corpus size
+    k = F.col("p_partkey")
+    edges = p.select(
+        k.alias("src"), ((k + 1) % n).alias("dst")
+    ).unionAll(p.select(k.alias("src"), ((k * 7 + 3) % n).alias("dst")))
+    r = p.select(k.alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        r = (
+            edges.join(r, edges["src"] == r["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV 2")).alias("m"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST(150000 + (17 * m) DIV 20 AS LONG)").alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_micro"))
