@@ -70,6 +70,8 @@ HEADLINE = [
     "redirect_resolve",
     # integer-arithmetic PageRank, 3 power iterations (join+agg each)
     "pagerank_priority",
+    "corpus_importance_resample",
+    "spans_caption_extract",
 ]
 
 

@@ -646,3 +646,63 @@ def interleaved_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reassembled").alias("text"),
     )
     return lsh_neardup_pairs(reassembled)
+
+
+@query(
+    "spans_caption_extract",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS did, doc_id::VARCHAR AS doc_id, text,
+             length(text) AS L, CAST(length(text) // 2 AS INT) AS h
+      FROM documents)
+    SELECT doc_id,
+           'media/' || doc_id || CASE WHEN did % 14 = 0
+                                      THEN '.svg' ELSE '.bin' END AS media_ref,
+           substr(greatest('0000000000:' || substr(text, 1, h),
+                           lpad(CAST(h AS VARCHAR), 10, '0') || ':'
+                             || substr(text, h + 1, L)), 12) AS caption,
+           CAST(length(substr(greatest('0000000000:' || substr(text, 1, h),
+                           lpad(CAST(h AS VARCHAR), 10, '0') || ':'
+                             || substr(text, h + 1, L)), 12)) AS BIGINT)
+             AS caption_len
+    FROM base WHERE did % 7 = 0
+    """,
+    doc="caption-candidate extraction for media spans: pair each media "
+    "span with the nearest PRECEDING text span in its own document "
+    "(offset <= media offset, latest offset wins — the standard "
+    "alt-text/caption heuristic for multimodal pair mining). The "
+    "reduction key is lpad(offset)||':'||text, so ties on offset break "
+    "deterministically on content in both engines; the join is "
+    "doc-local (equi-join on doc_id over <=3 spans/doc), never "
+    "cross-document. Oracle = the closed form of the synthetic layout.",
+)
+def spans_caption_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = synth_interleaved(load_table(spark, sf_dir, "documents"))
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    media = ex.filter(F.col("s.kind") == "media").select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("m_off"),
+    )
+    texts = ex.filter(F.col("s.kind") == "text").select(
+        "doc_id",
+        F.col("s.offset").alias("t_off"),
+        F.col("s.text").alias("t_text"),
+    )
+    key = F.concat(
+        F.lpad(F.col("t_off").cast("string"), 10, "0"),
+        F.lit(":"),
+        F.col("t_text"),
+    )
+    return (
+        media.join(texts, "doc_id")
+        .filter(F.col("t_off") <= F.col("m_off"))
+        .groupBy("doc_id", "media_ref")
+        .agg(F.max(key).alias("k"))
+        .select(
+            "doc_id",
+            "media_ref",
+            F.expr("substring(k, 12)").alias("caption"),
+            F.length(F.expr("substring(k, 12)")).cast("long").alias("caption_len"),
+        )
+    )

@@ -288,3 +288,78 @@ def dup_ngram_windows(spark, sf_dir):
         frac.alias("dup_frac"),
         (frac >= DUP_FRAC_FLAG).alias("flag_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# Importance resampling (DSIR-shaped: Xie et al. 2023 sample training data
+# with probability proportional to an importance weight; here the weight is
+# the lexical quality score and the coin is a deterministic doc_id hash, so
+# both engines agree bit-for-bit and re-runs are reproducible)
+# --------------------------------------------------------------------------
+
+_RS_BUCKETS = 1000
+
+
+@query(
+    "corpus_importance_resample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             (len(list_distinct(string_split(text, ' ')))
+                / len(string_split(text, ' '))
+              + (1.0 - len(list_filter(string_split(text, ' '),
+                     w -> list_contains({["the", "a", "of", "and", "to", "in"]!r}, w)))
+                 / len(string_split(text, ' ')))) / 2.0 AS qs
+      FROM documents),
+    a AS (
+      SELECT source, qs,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsir'), 1, 15))
+                ::BIGINT % {_RS_BUCKETS}
+              < CAST(floor(qs * {_RS_BUCKETS}) AS BIGINT)) AS keep
+      FROM q)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN CAST(floor(qs * 1000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS kept_quality_milli
+    FROM a GROUP BY source
+    """,
+    doc="quality-proportional importance resampling (DSIR-shaped): each "
+    "doc is kept with probability equal to its lexical quality score, "
+    "decided by a deterministic 60-bit doc_id hash against floor(q*1000) "
+    "— no RNG, so the sample is reproducible, re-runnable, and "
+    "cross-engine exact. Per-row filter + one partial-agg groupBy; at "
+    "100 TB the keep decision streams inside the scan stage. The kept "
+    "quality mass is accumulated in integer milli-units — a float sum "
+    "would drift with aggregation order and fail a value-hash compare "
+    "(the same minor-unit convention as plans/money.py).",
+)
+def corpus_importance_resample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from crypto_msg_parser_spark.functions.scalar import stable_hash64
+    from crypto_msg_parser_spark.operators.textstats import STOPWORDS
+
+    words = F.split("text", " ")
+    ttr = F.size(F.array_distinct(words)) / F.size(words)
+    swr = F.size(
+        F.filter(words, lambda w: F.array_contains(F.lit(STOPWORDS), w))
+    ) / F.size(words)
+    qs = (ttr + (F.lit(1.0) - swr)) / F.lit(2.0)
+    coin = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#dsir"))
+    ) % _RS_BUCKETS
+    a = docs.select(
+        "source",
+        qs.alias("qs"),
+        (coin < F.floor(qs * _RS_BUCKETS).cast("long")).alias("keep"),
+    )
+    return a.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep"), F.floor(F.col("qs") * 1000).cast("long"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_quality_milli"),
+    )

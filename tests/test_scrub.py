@@ -143,3 +143,57 @@ def test_spans_pii_scrub_preserves_sequence(spark):
     # at least the planted emails get redacted (doc_id % 3 == 0 tail spans)
     n_red = out.agg(F.sum("n_redactions")).head()[0]
     assert n_red > 0
+
+
+def test_pii_scrub_differential_fuzz(spark):
+    """Differential check of the Catalyst PII scrubber against Python `re`
+    with the same patterns over seeded-random text with planted and
+    near-miss PII tokens — one Spark job. The patterns live in the
+    Java-regex ∩ RE2 ∩ Python-re common subset, so all three engines
+    must agree exactly."""
+    import random
+    import re
+
+    from crypto_msg_parser_spark.operators.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        scrub_pii,
+    )
+
+    def ref(s: str) -> str:
+        s = re.sub(EMAIL_RE, "<EMAIL>", s)
+        s = re.sub(PHONE_RE, "<PHONE>", s)
+        return re.sub(IPV4_RE, "<IP>", s)
+
+    rng = random.Random(20240818)
+    words = ["alpha", "beta", "v1.2", "x", "a.b", "dot.", ".start", "a-b"]
+    pii = [
+        lambda: f"user{rng.randrange(999)}@ex{rng.randrange(9)}.org",
+        lambda: f"{rng.randrange(256)}.{rng.randrange(256)}."
+        f"{rng.randrange(256)}.{rng.randrange(256)}",
+        lambda: f"+{rng.randrange(1, 99)}-{rng.randrange(100, 999)}-"
+        f"{rng.randrange(1000, 9999)}",
+        # near-misses: must NOT be redacted / only partially match
+        lambda: "user@@double.at",
+        lambda: "1.2.3",  # 3 octets only
+        lambda: "+1-55-0100",  # 2-digit middle group
+        lambda: "semver 10.2.33.444.5",  # 5 dotted groups
+        lambda: "a@b",  # no TLD
+    ]
+    texts = []
+    for _ in range(2000):
+        parts = []
+        for _ in range(rng.randrange(1, 8)):
+            parts.append(
+                pii[rng.randrange(len(pii))]()
+                if rng.random() < 0.5
+                else rng.choice(words)
+            )
+        texts.append(" ".join(parts))
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    from pyspark.sql import functions as F
+
+    got = df.select("t", scrub_pii(F.col("t")).alias("s")).collect()
+    bad = [(r["t"], r["s"], ref(r["t"])) for r in got if r["s"] != ref(r["t"])]
+    assert not bad, f"{len(bad)} mismatches, first 5: {bad[:5]}"
