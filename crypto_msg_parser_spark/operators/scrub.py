@@ -253,14 +253,17 @@ def dup_ngram_windows(spark, sf_dir):
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(ws, i, WINDOW_W))
     )
-    wins = docs.select(
-        "doc_id", n_win.cast("long").alias("n_windows"), grams.alias("gs")
-    ).localCheckpoint(eager=False)
     # windows join/aggregate on the 64-bit hash, never the string (shuffle
-    # width at 100 TB); the hash stays internal — outputs are counts.
-    base = wins.select(
-        "doc_id", F.explode("gs").alias("g")
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    # width at 100 TB); the hash stays internal — outputs are counts. The
+    # barrier sits on the COMPACT (doc_id, gh) pairs, not the gram-array
+    # frame: base feeds two consumers (dup set + hit count), and
+    # materializing long pairs costs 4x less cold time than materializing
+    # the exploded string arrays (measured 23s -> 5.7s cold at sf0.1/32).
+    base = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .localCheckpoint(eager=False)
+    )
     dup = (
         base.distinct()
         .groupBy("gh")
@@ -274,7 +277,7 @@ def dup_ngram_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )
     out = (
-        wins.select("doc_id", "n_windows")
+        docs.select("doc_id", n_win.cast("long").alias("n_windows"))
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
