@@ -72,6 +72,8 @@ HEADLINE = [
     "pagerank_priority",
     "corpus_importance_resample",
     "spans_caption_extract",
+    "word_rarity_score",
+    "embedding_quantize_int8",
 ]
 
 

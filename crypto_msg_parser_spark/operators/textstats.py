@@ -339,3 +339,43 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= TFIDF_TOP_TERMS)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@query(
+    "word_rarity_score",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w)
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(1000000 // df.df) AS BIGINT) AS rarity_micro,
+           CAST(sum(1000000 // df.df) AS BIGINT) / count(*) AS mean_rarity
+    FROM dw JOIN df ON df.w = dw.w
+    GROUP BY dw.doc_id
+    """,
+    doc="unigram-surprise quality signal (the cheap proxy for perplexity "
+    "filtering): per-doc sum of inverse document frequency over distinct "
+    "words, accumulated in INTEGER micro-units (floor(1e6/df)) — an "
+    "integer sum is associative, so the score is bit-identical under any "
+    "partial-agg order, where a float idf sum (or a log-based one: ln() "
+    "ulps differ across engines) would drift under value-hash compare. "
+    "Two shuffles: groupBy(word) for global df, groupBy(doc_id) for the "
+    "score; the word join is equi, never all-pairs.",
+)
+def word_rarity_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    ).localCheckpoint(eager=False)  # feeds both the df build and the join
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    j = dw.join(df, "w")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.expr("1000000 DIV df")).cast("long").alias("rarity_micro"),
+        (
+            F.sum(F.expr("1000000 DIV df")).cast("long")
+            / F.count(F.lit(1))
+        ).alias("mean_rarity"),
+    )
