@@ -905,3 +905,92 @@ def pagerank_priority(spark, sf_dir):
             )
         )
     return r.select("node", F.col("r").alias("rank_micro"))
+
+
+_RATE_BUDGET = 40
+
+
+@query(
+    "stream_rate_limit",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_FRONTIER_URL} AS url, {_SQL_HOST} AS host,
+             CAST(p_partkey % 3 AS INT) AS batch_idx
+      FROM part),
+    h AS (
+      SELECT url, host, batch_idx,
+             {_SQL_HASH.format(expr="url")} AS url_hash
+      FROM f),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY batch_idx, url_hash) AS rnk
+      FROM h)
+    SELECT host, url, url_hash,
+           CAST(CASE WHEN rnk <= {_RATE_BUDGET} THEN rnk ELSE 0 END AS INT)
+             AS admit_seq,
+           (rnk <= {_RATE_BUDGET}) AS allowed
+    FROM r
+    """,
+    doc="per-exchange rate budgets enforced as STREAMING keyed state "
+    "(north_rule): the token-budget admission job drained under "
+    "Trigger.availableNow over three mtime-ordered micro-batches; each "
+    "host's O(1) used-token state persists across batches, admission "
+    "order is pinned by (batch_idx, url_hash) so replays are exact. The "
+    "oracle is the closed form: per-host row_number over the same order "
+    "with the same budget. Batch/stream parity for the scheduler's "
+    "budget arm as a CORRECTNESS row (the batch twin is "
+    "politeness_schedule's epoch budgeting).",
+)
+def stream_rate_limit(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from crypto_msg_parser_spark.streaming.jobs import (
+        RATE_URLS_DDL,
+        host_rate_limit_stream,
+    )
+
+    f = _frontier_df(spark, sf_dir).select(
+        "url",
+        "host",
+        stable_hash64(F.col("url")).alias("url_hash"),
+        (F.col("p_partkey") % 3).cast("int").alias("batch_idx"),
+    )
+    src = tempfile.mkdtemp(prefix="rate_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="rate_stream_ckpt_")
+    name = f"rate_limit_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(3):
+            d = tempfile.mkdtemp(prefix="rate_stream_part_")
+            f.filter(F.col("batch_idx") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(RATE_URLS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            host_rate_limit_stream(stream, _RATE_BUDGET)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.sql(
+        f"SELECT host, url, url_hash, admit_seq, allowed FROM {name}"
+    )

@@ -163,8 +163,11 @@ _PRIORITY = [
     "events_stream_late_drop",
     "l2_seq_gap_detect",
     "bloom_frontier_dedup",
-    # fill to 50 with load-bearing r02-green anchors (regression canaries)
-    "q1_pricing_summary",
+    # stateful streaming rate-budget enforcement, new this wave
+    # (q1_pricing_summary yields its canary slot: it is the entry() smoke
+    # check and r02-green; the LSH canary stays because its core was
+    # refactored this wave)
+    "stream_rate_limit",
     "neardup_minhash_lsh",
 ]
 

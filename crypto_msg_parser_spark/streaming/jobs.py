@@ -277,3 +277,49 @@ def crawl_stream_to_docs(urls: DataFrame) -> DataFrame:
         "canonical",
     )
     return fetch_stub(scheduled)
+
+
+RATE_URLS_DDL = "url string, host string, url_hash long, batch_idx int"
+
+
+def host_rate_limit_stream(urls: DataFrame, budget: int) -> DataFrame:
+    """Per-host fetch-budget admission as STREAMING keyed state (the
+    north-rule "per-exchange rate budgets" enforced across micro-batches):
+    each host carries one integer of state — tokens used — and every URL
+    is emitted with its admission verdict. Admission order is
+    deterministic: (batch_idx, url_hash) — the batch index pins
+    cross-micro-batch order (files arrive mtime-ordered under
+    availableNow + maxFilesPerTrigger=1), the hash pins order within a
+    batch, so a replay admits exactly the same URLs. Deferred URLs are
+    emitted with allowed=false (a real crawler re-enqueues them for the
+    next budget epoch); state is O(1) per host — nothing accumulates.
+    """
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        used = int(state.get[0]) if state.exists else 0
+        # one logical micro-batch may arrive as several Arrow chunks:
+        # concatenate before sorting or the within-batch order is lost
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["batch_idx", "url_hash"]).reset_index(drop=True)
+        n = len(pdf)
+        admit_n = max(0, min(n, budget - used))
+        seq = [used + i + 1 for i in range(admit_n)] + [0] * (n - admit_n)
+        pdf["admit_seq"] = pd.array(seq, dtype="int32")
+        pdf["allowed"] = pdf["admit_seq"] > 0
+        used += admit_n
+        state.update((used,))
+        yield pdf[["host", "url", "url_hash", "admit_seq", "allowed"]]
+
+    return urls.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, url string, url_hash long, "
+            "admit_seq int, allowed boolean"
+        ),
+        stateStructType="used int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
