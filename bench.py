@@ -74,6 +74,8 @@ HEADLINE = [
     "spans_caption_extract",
     "word_rarity_score",
     "embedding_quantize_int8",
+    # the web-corpus flagship: scrub -> strip -> truncate -> gate -> pack
+    "web_corpus_prep_full",
 ]
 
 

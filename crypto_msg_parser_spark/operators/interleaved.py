@@ -706,3 +706,194 @@ def spans_caption_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.expr("substring(k, 12)")).cast("long").alias("caption_len"),
         )
     )
+
+
+_MIN_TOK_GATE = 8  # post-strip post-truncate token floor
+_MIN_STOP_GATE = 1  # stop-word evidence floor over surviving spans
+
+_SQL_SPANS_AUG_FOOTER = (
+    "aug_docs AS (SELECT doc_id, " + _SQL_PII_AUG + " AS text FROM documents),\n"
+    + _SQL_SPANS_FOOTER.replace("FROM documents", "FROM aug_docs")
+)
+
+
+@query(
+    "web_corpus_prep_full",
+    oracle=f"""
+    WITH {_SQL_SPANS_AUG_FOOTER},
+    scr AS (
+      SELECT doc_id, kind,
+             CASE WHEN kind = 'text' THEN {_sql_pii_scrub("stext")}
+                  ELSE stext END AS stext,
+             soff
+      FROM spans_f),
+    keyed AS (
+      SELECT doc_id, kind, stext, soff,
+             CASE WHEN kind = 'text'
+                  THEN ('0x' || substr(md5(lower(trim(stext))), 1, 15))::BIGINT
+             END AS bkey,
+             CASE WHEN kind = 'text'
+                  THEN CAST(len(regexp_extract_all(stext,
+                       '<(EMAIL|PHONE|IP)>')) AS BIGINT)
+                  ELSE 0 END AS nred
+      FROM scr),
+    boiler AS (
+      SELECT bkey FROM keyed WHERE bkey IS NOT NULL
+      GROUP BY bkey HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+    flagged AS (
+      SELECT k.doc_id, k.kind, k.soff, k.nred,
+             (b.bkey IS NULL) AS kept,
+             CASE WHEN k.kind = 'text'
+                  THEN coalesce(len(string_split(k.stext, ' ')), 0)
+                  ELSE {_MEDIA_TOKEN_COST} END AS tok,
+             CASE WHEN k.kind = 'text'
+                  THEN len(list_filter(string_split(k.stext, ' '),
+                       w -> list_contains({["the", "a", "of", "and", "to", "in"]!r}, w)))
+                  ELSE 0 END AS stp
+      FROM keyed k LEFT JOIN boiler b ON k.bkey = b.bkey),
+    cums AS (
+      SELECT doc_id, kept, tok, nred, stp,
+             sum(CASE WHEN kept THEN tok ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY soff, kind
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM flagged),
+    perdoc AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) FILTER (WHERE kept AND cum <= {_TRUNC_BUDGET})
+                  AS BIGINT) AS n_spans_final,
+             CAST(coalesce(sum(CASE WHEN kept AND cum <= {_TRUNC_BUDGET}
+                                    THEN tok END), 0) AS BIGINT) AS n_tok,
+             CAST(sum(nred) AS BIGINT) AS n_redactions,
+             CAST(coalesce(sum(CASE WHEN kept AND cum <= {_TRUNC_BUDGET}
+                                    THEN stp END), 0) AS BIGINT) AS stop_hits
+      FROM cums GROUP BY doc_id),
+    gated AS (
+      SELECT * FROM perdoc
+      WHERE n_tok >= {_MIN_TOK_GATE} AND stop_hits >= {_MIN_STOP_GATE})
+    SELECT doc_id, n_spans_final, n_tok, n_redactions, stop_hits,
+           CAST(cum2 - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum2 - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM (SELECT *, sum(n_tok) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM gated)
+    """,
+    doc="the WEB-corpus flagship — what a crawl-to-training-data pipeline "
+    "actually runs, as ONE declarative plan over the interleaved payload: "
+    "per-span PII redaction (scrub BEFORE boilerplate hashing, so chrome "
+    "that differs only in embedded PII still dedups) -> span-level "
+    "boilerplate strip -> token accounting over surviving spans -> "
+    "token-budget truncation at span boundaries -> doc-level quality "
+    "gate (token floor + stop-word evidence over the SURVIVING spans — "
+    "thin or gibberish docs never reach packing) -> two-level prefix-sum "
+    "packing of the gated set. The oracle replays the entire chain in "
+    "closed form; stage coupling (scrub before hash, gate after "
+    "truncation, pack offsets over the gated subset only) is exactly "
+    "what single-operator tests cannot catch.",
+)
+def web_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.scalar import stable_hash64
+    from .corpus import pack_sequences
+    from .scrub import _augmented_text, scrub_pii
+    from .textstats import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("text"))
+    inter = synth_interleaved_with_footer(aug)
+    ex = inter.select("doc_id", F.explode("spans").alias("s"))
+    is_text = F.col("s.kind") == "text"
+    scr = ex.select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.when(is_text, scrub_pii(F.col("s.text")))
+        .otherwise(F.col("s.text"))
+        .alias("stext"),
+        F.col("s.offset").alias("soff"),
+    )
+    keyed = scr.select(
+        "*",
+        F.when(
+            F.col("kind") == "text",
+            stable_hash64(F.lower(F.trim(F.col("stext")))),
+        ).alias("bkey"),
+        F.when(
+            F.col("kind") == "text",
+            F.regexp_count("stext", F.lit("<(EMAIL|PHONE|IP)>")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("nred"),
+    )
+    boiler = (
+        keyed.filter(F.col("bkey").isNotNull())
+        .groupBy("bkey")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("bkey", F.lit(True).alias("_boiler"))
+    )
+    flagged = keyed.join(boiler, "bkey", "left")
+    kept = F.col("_boiler").isNull()
+    tok = (
+        F.when(
+            F.col("kind") == "text",
+            F.coalesce(F.size(F.split("stext", " ")), F.lit(0)),
+        )
+        .otherwise(F.lit(_MEDIA_TOKEN_COST))
+        .cast("long")
+    )
+    stp = (
+        F.when(
+            F.col("kind") == "text",
+            F.size(
+                F.filter(
+                    F.split("stext", " "),
+                    lambda w: F.array_contains(F.lit(STOPWORDS), w),
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("soff"), F.col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.when(kept, tok).otherwise(F.lit(0))).over(w)
+    staged = flagged.select(
+        "doc_id",
+        kept.alias("kept"),
+        tok.alias("tok"),
+        "nred",
+        stp.alias("stp"),
+        cum.alias("cum"),
+    )
+    within = F.col("kept") & (F.col("cum") <= _TRUNC_BUDGET)
+    perdoc = staged.groupBy(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).agg(
+        F.sum(within.cast("long")).alias("n_spans_final"),
+        F.coalesce(F.sum(F.when(within, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
+        F.sum("nred").cast("long").alias("n_redactions"),
+        F.coalesce(F.sum(F.when(within, F.col("stp"))), F.lit(0))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    gated = perdoc.filter(
+        (F.col("n_tok") >= _MIN_TOK_GATE)
+        & (F.col("stop_hits") >= _MIN_STOP_GATE)
+    )
+    # same triple-reference barrier as interleaved_prep_full: pack's three
+    # consumers must not re-run the scrub+strip+truncate subtree
+    gated = gated.localCheckpoint(eager=False)
+    return pack_sequences(gated).select(
+        "doc_id",
+        "n_spans_final",
+        "n_tok",
+        "n_redactions",
+        "stop_hits",
+        "start_offset",
+        "pack_id",
+    )

@@ -143,7 +143,10 @@ _PRIORITY = [
     # slot to the end-to-end streaming crawl->interleaved-docs composition
     # (canonicalization is exercised inside every other sampled crawl row)
     "crawl_stream_docs_replay",
-    "frontier_seen_dedup",
+    # the web-corpus flagship (scrub->strip->truncate->gate->pack, one
+    # plan); frontier_seen_dedup yields — its anti-join runs inside the
+    # sampled cuckoo/bloom/stream-replay rows
+    "web_corpus_prep_full",
     "cuckoo_frontier_dedup",
     "robots_gate",
     # interleaved-axis composition rows new this round; host_skew_stats
