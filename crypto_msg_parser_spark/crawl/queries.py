@@ -994,3 +994,58 @@ def stream_rate_limit(spark, sf_dir):
     return spark.sql(
         f"SELECT host, url, url_hash, admit_seq, allowed FROM {name}"
     )
+
+
+# Sitemap: directives live OUTSIDE user-agent groups (RFC 9309 §2.3 allows
+# them anywhere); the rule-group parser ignores them, this row extracts
+# them. Bodies kept separate from _ROBOTS_BODIES so the gate oracle's
+# closed form stays untouched.
+_ROBOTS_SITEMAP_BODIES = [
+    (
+        "api.binance.com",
+        1000,
+        "User-agent: *\nDisallow: /internal\n"
+        "Sitemap: HTTPS://Api.Binance.COM:443/sitemap.xml\n"
+        "sitemap: https://api.binance.com/sitemap-alt.xml#frag\n",
+    ),
+    (
+        "www.okx.com",
+        1000,
+        "Sitemap: https://www.okx.com/sitemap.xml\n"
+        "User-agent: *\nDisallow: /admin\n",
+    ),
+    ("api.huobi.pro", 1000, "User-agent: *\nDisallow: /api\n"),
+]
+
+
+@query(
+    "robots_sitemap_discovery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('api.binance.com', 0, 'https://api.binance.com/sitemap.xml'),
+      ('api.binance.com', 1, 'https://api.binance.com/sitemap-alt.xml'),
+      ('www.okx.com', 0, 'https://www.okx.com/sitemap.xml'))
+    AS t(host, position, sitemap_url)
+    """,
+    doc="Sitemap: directive discovery from robots.txt (RFC 9309 §2.3 — "
+    "the line is group-independent and case-insensitive on the field "
+    "name): multiline regexp extraction per body, order-preserving "
+    "posexplode, then the standard canonicalizer (case-fold, default "
+    "port, fragment) so discovered sitemap URLs enter the SAME seen-set "
+    "keyspace as crawled URLs — the handoff edge between the robots "
+    "cache and sitemap_extract. Oracle = the closed form of the "
+    "synthesized bodies (same convention as robots_gate).",
+)
+def robots_sitemap_discovery(spark, sf_dir):
+    from crypto_msg_parser_spark.crawl.robots import ROBOTS_FETCH_SCHEMA
+
+    fetched = spark.createDataFrame(
+        _ROBOTS_SITEMAP_BODIES, ROBOTS_FETCH_SCHEMA
+    )
+    maps = F.regexp_extract_all(
+        "body", F.lit(r"(?m)^[Ss]itemap:[ \t]*([^\r\n]+)"), 1
+    )
+    ex = fetched.select("host", F.posexplode(maps).alias("position", "raw"))
+    return ex.select(
+        "host", "position", canonical_url(F.col("raw")).alias("sitemap_url")
+    )

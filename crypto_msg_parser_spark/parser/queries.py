@@ -1817,3 +1817,68 @@ def parse_deribit_inverse_trade(spark, sf_dir):
         "msg_id", "symbol", "pair", "timestamp", "side",
         "quantity_base", "quantity_quote", "quantity_contract",
     )
+
+
+_SQL_BOOK_CTES = f"""
+    WITH src AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             l_orderkey * 100 + l_linenumber AS seq_id,
+             l_extendedprice AS p, CAST(l_quantity AS DOUBLE) AS q
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    lv AS (
+      SELECT symbol, seq_id, 'bid' AS side, round(p - 1, 2) AS price, q AS qty
+      FROM src
+      UNION ALL SELECT symbol, seq_id, 'bid', round(p - 2, 2), q + 1 FROM src
+      UNION ALL SELECT symbol, seq_id, 'ask', round(p + 1, 2), q FROM src
+      UNION ALL SELECT symbol, seq_id, 'ask', round(p + 2, 2), q + 1 FROM src),
+    eff AS (
+      SELECT symbol, side, price, seq_id,
+             CASE WHEN seq_id % 10 = 3 THEN 0 ELSE qty END AS qty
+      FROM lv),
+    last AS (
+      SELECT symbol, side, price,
+             arg_max(qty, seq_id) AS qty,
+             max(seq_id) AS last_seq
+      FROM eff GROUP BY symbol, side, price),
+    book AS (SELECT symbol, side, price, qty, last_seq FROM last WHERE qty > 0)
+"""
+
+
+@query(
+    "l2_spread_stats",
+    oracle=f"""
+    {_SQL_BOOK_CTES}
+    SELECT symbol,
+           max(CASE WHEN side = 'bid' THEN price END) AS best_bid,
+           min(CASE WHEN side = 'ask' THEN price END) AS best_ask,
+           min(CASE WHEN side = 'ask' THEN price END)
+             - max(CASE WHEN side = 'bid' THEN price END) AS spread,
+           (min(CASE WHEN side = 'ask' THEN price END)
+             + max(CASE WHEN side = 'bid' THEN price END)) / 2.0 AS mid,
+           CAST(sum(CASE WHEN side = 'bid' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bid_levels,
+           CAST(sum(CASE WHEN side = 'ask' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ask_levels
+    FROM book GROUP BY symbol
+    """,
+    doc="top-of-book analytics over the RECONSTRUCTED order book "
+    "(composition on l2_book_reconstruct): best bid/ask, spread, mid and "
+    "level depth per symbol — one more partial-agg groupBy on the same "
+    "book key, zero extra shuffles beyond it. Numeric determinism: "
+    "best-of = max/min (order-independent), spread/mid are single IEEE "
+    "ops on those scalars; level depth is an integer count. No float "
+    "SUM over rows anywhere — that would drift with aggregation order.",
+)
+def l2_spread_stats(spark, sf_dir):
+    book = l2_book_reconstruct(spark, sf_dir)
+    is_bid = F.col("side") == "bid"
+    best_bid = F.max(F.when(is_bid, F.col("price")))
+    best_ask = F.min(F.when(~is_bid, F.col("price")))
+    return book.groupBy("symbol").agg(
+        best_bid.alias("best_bid"),
+        best_ask.alias("best_ask"),
+        (best_ask - best_bid).alias("spread"),
+        ((best_ask + best_bid) / F.lit(2.0)).alias("mid"),
+        F.sum(is_bid.cast("long")).alias("n_bid_levels"),
+        F.sum((~is_bid).cast("long")).alias("n_ask_levels"),
+    )
