@@ -411,3 +411,82 @@ def embedding_quantize_int8(spark, sf_dir):
             lambda acc, y: acc + y,
         ).alias("q_l1"),
     )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored_b AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+    top_b AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored_b) WHERE rank <= {TOP_K}),
+    scored_i AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings e
+        ON e.label = q.label AND e.vec_id <> q.query_id),
+    top_i AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored_i) WHERE rank <= {TOP_K}),
+    hits AS (
+      SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM top_b b JOIN top_i i
+        ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+      GROUP BY b.query_id)
+    SELECT q.query_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="ANN quality measurement — recall@k of the IVF index against the "
+    "brute-force ground truth, per query, IN-PLAN ('measure, don't "
+    "guess' applied to the index itself: a production pipeline gates "
+    "index deployment on exactly this join). Integer intersection "
+    "counts + one division — no float aggregation. At scale both sides "
+    "are the already-bounded top-k frames (n_queries x k rows), so the "
+    "report join is trivially broadcastable by AQE. On this synthetic "
+    "corpus the verdict is damning by design: label-cells barely "
+    "correlate with cosine neighborhoods (same-label cosine p99 ~0.30), "
+    "so recall@3 ~ 0.07 — the gate correctly REJECTS this quantizer; "
+    "kmeans_fit cells (ann_ivf_kmeans) are the fix.",
+)
+def ann_recall_report(spark, sf_dir):
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("b_vec")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vec")
+    )
+    hits = (
+        brute.join(
+            ivf,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("b_vec") == F.col("i_vec")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    ).distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("long") / F.lit(TOP_K)).alias(
+            "recall_at_k"
+        ),
+    )
