@@ -1882,3 +1882,68 @@ def l2_spread_stats(spark, sf_dir):
         F.sum(is_bid.cast("long")).alias("n_bid_levels"),
         F.sum((~is_bid).cast("long")).alias("n_ask_levels"),
     )
+
+
+@query(
+    "candles_rollup_5m",
+    oracle=f"""
+    WITH trades AS (
+        SELECT CASE l_partkey % 4 WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT'
+                    WHEN 2 THEN 'DOGEUSDT' ELSE 'BNBBTC' END AS symbol,
+               {_BASE_TS} + l_orderkey * 997 AS ts,
+               round(l_extendedprice, 2) AS price,
+               round(l_quantity, 1) AS qty,
+               (l_orderkey * 10 + l_linenumber) * 1000000000.0
+                 + round(l_extendedprice, 2) * 100 AS seq
+        FROM lineitem
+    ),
+    c1 AS (
+      SELECT symbol,
+             ts - ts % 60000 AS window_start,
+             min(price) AS low,
+             max(price) AS high,
+             sum(qty) AS volume,
+             arg_min(price, seq) AS open,
+             arg_max(price, seq) AS close,
+             count(*) AS n_trades
+      FROM trades
+      GROUP BY symbol, ts - ts % 60000
+    )
+    SELECT symbol,
+           window_start - window_start % 300000 AS window5_start,
+           arg_min(open, window_start) AS open,
+           max(high) AS high,
+           min(low) AS low,
+           arg_max(close, window_start) AS close,
+           sum(volume) AS volume,
+           CAST(sum(n_trades) AS BIGINT) AS n_trades,
+           CAST(count(*) AS BIGINT) AS n_1m_candles
+    FROM c1 GROUP BY symbol, window_start - window_start % 300000
+    """,
+    doc="hierarchical candle rollup (the hypertable continuous-aggregate "
+    "pattern): 5-minute OHLCV derived FROM the 1-minute candles, not from "
+    "raw trades — open/close select by earliest/latest child window "
+    "(min_by/max_by on window_start, unique per child so no tie), "
+    "high/low fold as max/min, volume and trade counts sum (the "
+    "synthetic qty values are integer-valued doubles, so the sum is "
+    "exact; a real pipeline quantizes to minor units first — "
+    "plans/money.py). Quote mass is deliberately NOT rolled up from the "
+    "rounded per-minute values: summing already-rounded doubles "
+    "reintroduces order-dependence — recompute it from trades or carry "
+    "integer cents. Two cascaded partial-agg groupBys, the second over "
+    "5x fewer rows.",
+)
+def candles_rollup_5m(spark, sf_dir):
+    c1 = candles_recompute_1m(spark, sf_dir).drop("quote_volume")
+    win5 = (
+        F.col("window_start") - F.col("window_start") % 300000
+    ).alias("window5_start")
+    return c1.groupBy("symbol", win5).agg(
+        F.min_by("open", "window_start").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "window_start").alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("n_trades").cast("long").alias("n_trades"),
+        F.count(F.lit(1)).alias("n_1m_candles"),
+    )
