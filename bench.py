@@ -76,6 +76,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     # the web-corpus flagship: scrub -> strip -> truncate -> gate -> pack
     "web_corpus_prep_full",
+    "candles_rollup_5m",
+    "vwap_1m",
 ]
 
 

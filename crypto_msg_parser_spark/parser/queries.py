@@ -1947,3 +1947,56 @@ def candles_rollup_5m(spark, sf_dir):
         F.sum("n_trades").cast("long").alias("n_trades"),
         F.count(F.lit(1)).alias("n_1m_candles"),
     )
+
+
+@query(
+    "vwap_1m",
+    oracle=f"""
+    WITH trades AS (
+        SELECT CASE l_partkey % 4 WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT'
+                    WHEN 2 THEN 'DOGEUSDT' ELSE 'BNBBTC' END AS symbol,
+               {_BASE_TS} + l_orderkey * 997 AS ts,
+               CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+                 AS price_cents,
+               CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci
+        FROM lineitem
+    )
+    SELECT symbol,
+           ts - ts % 60000 AS window_start,
+           CAST(sum(price_cents * qty_deci) AS BIGINT) AS notional_milli,
+           CAST(sum(qty_deci) AS BIGINT) AS qty_deci_total,
+           sum(price_cents * qty_deci) / sum(qty_deci) / 100.0 AS vwap
+    FROM trades
+    GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="volume-weighted average price per symbol-minute, the canonical "
+    "float-aggregation trap solved with the plans/money.py convention: "
+    "price quantizes to integer cents, quantity to integer deci-units "
+    "BEFORE aggregation, so every sum is an exact associative integer "
+    "sum; VWAP itself is two IEEE ops on identical scalars at the very "
+    "end. A naive sum(price*qty)/sum(qty) in doubles drifts with "
+    "partial-agg order and fails value-hash comparison at any scale.",
+)
+def vwap_1m(spark, sf_dir):
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        F.round(F.round("l_quantity", 1) * 10).cast("long").alias("qty_deci"),
+    )
+    win = (F.col("ts") - F.col("ts") % 60000).alias("window_start")
+    return trades.groupBy("symbol", win).agg(
+        F.sum(F.col("price_cents") * F.col("qty_deci"))
+        .cast("long")
+        .alias("notional_milli"),
+        F.sum("qty_deci").cast("long").alias("qty_deci_total"),
+        (
+            F.sum(F.col("price_cents") * F.col("qty_deci"))
+            / F.sum("qty_deci")
+            / F.lit(100.0)
+        ).alias("vwap"),
+    )
