@@ -2000,3 +2000,57 @@ def vwap_1m(spark, sf_dir):
             / F.lit(100.0)
         ).alias("vwap"),
     )
+
+
+@query(
+    "order_flow_imbalance_1m",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey AS ts,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci
+      FROM lineitem)
+    SELECT symbol,
+           ts - ts % 60000 AS window_start,
+           CAST(sum(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buys,
+           CAST(sum(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sells,
+           CAST(sum(CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END)
+                AS BIGINT) AS buy_qty_deci,
+           CAST(sum(CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END)
+                AS BIGINT) AS sell_qty_deci,
+           (sum(CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END)
+            - sum(CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END))
+           / (sum(CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END)
+              + sum(CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END))
+             AS imbalance
+    FROM t GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="order-flow imbalance per symbol-minute FED BY THE REAL PARSE "
+    "PIPELINE (binance.parse_trade output, not a re-synthesis): buy/sell "
+    "trade counts and deci-unit quantity mass as exact integer sums, "
+    "imbalance = one IEEE division on the two integer scalars. The "
+    "composition the reference's consumers run downstream of "
+    "normalization; one partial-agg groupBy on (symbol, minute).",
+)
+def order_flow_imbalance_1m(spark, sf_dir):
+    raw = _spot_trade_msgs(spark, sf_dir)
+    parsed = binance.parse_trade(raw)
+    t = parsed.select(
+        "symbol",
+        (F.col("timestamp") - F.col("timestamp") % 60000).alias("window_start"),
+        "side",
+        F.round(F.col("quantity_base") * 10).cast("long").alias("qty_deci"),
+    )
+    is_buy = F.col("side") == "buy"
+    buy_q = F.sum(F.when(is_buy, F.col("qty_deci")).otherwise(0)).cast("long")
+    sell_q = F.sum(F.when(~is_buy, F.col("qty_deci")).otherwise(0)).cast("long")
+    return t.groupBy("symbol", "window_start").agg(
+        F.sum(is_buy.cast("long")).alias("n_buys"),
+        F.sum((~is_buy).cast("long")).alias("n_sells"),
+        buy_q.alias("buy_qty_deci"),
+        sell_q.alias("sell_qty_deci"),
+        ((buy_q - sell_q) / (buy_q + sell_q)).alias("imbalance"),
+    )
