@@ -1,0 +1,124 @@
+"""Crafted-input tests for the analytics wave (candle rollup, VWAP,
+order-flow imbalance, int8 quantization, unigram rarity) — semantics the
+oracle replay can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rollup_open_close_pick_child_windows(spark):
+    """5m open must come from the EARLIEST 1m child, close from the
+    LATEST — crafted two-symbol frame with shuffled row order."""
+    c1 = spark.createDataFrame(
+        [
+            Row(symbol="X", window_start=300000, low=9.0, high=11.0,
+                volume=1.0, open=10.0, close=11.0, n_trades=2),
+            Row(symbol="X", window_start=0, low=1.0, high=5.0,
+                volume=2.0, open=2.0, close=3.0, n_trades=3),
+            Row(symbol="X", window_start=60000, low=4.0, high=8.0,
+                volume=3.0, open=6.0, close=7.0, n_trades=1),
+        ]
+    )
+    win5 = (F.col("window_start") - F.col("window_start") % 300000).alias("w5")
+    out = {
+        (r.symbol, r.w5): r
+        for r in c1.groupBy("symbol", win5)
+        .agg(
+            F.min_by("open", "window_start").alias("open"),
+            F.max_by("close", "window_start").alias("close"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .collect()
+    }
+    first = out[("X", 0)]
+    assert first.open == 2.0   # from window_start=0
+    assert first.close == 7.0  # from window_start=60000 (latest child in w5=0)
+    assert first.high == 8.0 and first.low == 1.0 and first.n_trades == 4
+    second = out[("X", 300000)]
+    assert second.open == 10.0 and second.close == 11.0
+
+
+def test_vwap_integer_units_are_exact(spark):
+    """0.1-style decimals that are INEXACT in binary must still produce
+    the exact rational VWAP because sums happen in integer units."""
+    rows = [Row(price=0.1, qty=0.1) for _ in range(100)]
+    df = spark.createDataFrame(rows)
+    cents = F.round(F.col("price") * 100).cast("long")
+    deci = F.round(F.col("qty") * 10).cast("long")
+    got = (
+        df.agg(
+            (F.sum(cents * deci) / F.sum(deci) / F.lit(100.0)).alias("vwap"),
+            F.sum(cents * deci).alias("notional"),
+            F.sum(deci).alias("q"),
+        ).head()
+    )
+    assert got.notional == 100 * 10 * 1  # exact integers
+    assert got.q == 100
+    assert got.vwap == 0.1  # exact: (1000/100)/100.0, no drift
+
+
+def test_imbalance_bounds(spark):
+    from crypto_msg_parser_spark.registry import all_queries
+
+    rows = all_queries()["order_flow_imbalance_1m"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.imbalance <= 1.0
+        assert r.n_buys + r.n_sells > 0
+        assert (r.buy_qty_deci - r.sell_qty_deci) / (
+            r.buy_qty_deci + r.sell_qty_deci
+        ) == r.imbalance
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Reconstruction x' = q*scale/127 must be within scale/254 of x per
+    element (half a quantization step)."""
+    from crypto_msg_parser_spark.registry import all_queries
+    from crypto_msg_parser_spark.sources.testdata import load_table
+
+    out = {
+        r.vec_id: r
+        for r in all_queries()["embedding_quantize_int8"].spark_fn(spark, SF)
+        .collect()
+    }
+    src = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF, "embeddings").limit(50).collect()
+    }
+    checked = 0
+    for vid, vec in src.items():
+        r = out[vid]
+        if r.scale == 0:
+            continue
+        q = [int(s) for s in r.qvec_csv.split(",")]
+        assert len(q) == len(vec) == r.dim
+        step = r.scale / 127.0
+        for x, qi in zip(vec, q):
+            assert abs(qi * step - x) <= step / 2 + 1e-12
+            assert -127 <= qi <= 127
+        checked += 1
+    assert checked > 10
+
+
+def test_word_rarity_unique_words_max_score(spark):
+    """A doc whose words appear nowhere else must score 1e6 per word."""
+    from crypto_msg_parser_spark.registry import all_queries
+    from crypto_msg_parser_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = {
+        r.doc_id: r
+        for r in all_queries()["word_rarity_score"].spark_fn(spark, SF).collect()
+    }
+    assert out
+    for r in out.values():
+        # every rarity term is floor(1e6/df) with df >= 1 -> bounded
+        assert 0 < r.rarity_micro <= r.n_distinct_words * 1_000_000
+        assert abs(r.mean_rarity - r.rarity_micro / r.n_distinct_words) < 1e-9
+    assert docs.count() == len(out)
