@@ -2054,3 +2054,64 @@ def order_flow_imbalance_1m(spark, sf_dir):
         sell_q.alias("sell_qty_deci"),
         ((buy_q - sell_q) / (buy_q + sell_q)).alias("imbalance"),
     )
+
+
+@query(
+    "funding_accrual_8h",
+    oracle=f"""
+    WITH fr AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'BTCUSD_PERP'
+                  ELSE 'ETHUSD_PERP' END AS symbol,
+             1617321600000 + (o_orderkey % 10) * 28800000 AS funding_time,
+             CAST(round(round(CAST(o_orderkey % 200 - 100 AS DOUBLE)
+                              / 100000.0, 5) * 1000000000) AS BIGINT)
+               AS rate_nano
+      FROM orders),
+    per AS (
+      SELECT symbol, funding_time,
+             CAST(count(*) AS BIGINT) AS n_updates,
+             CAST(sum(rate_nano) AS BIGINT) AS rate_nano_sum
+      FROM fr GROUP BY symbol, funding_time)
+    SELECT symbol, funding_time, n_updates, rate_nano_sum,
+           CAST(sum(rate_nano_sum) OVER (PARTITION BY symbol
+                ORDER BY funding_time ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rate_nano,
+           sum(rate_nano_sum) OVER (PARTITION BY symbol
+                ORDER BY funding_time ROWS UNBOUNDED PRECEDING)
+             / 1000000000.0 AS accrued_rate
+    FROM per
+    """,
+    doc="8h funding accrual per perpetual symbol FED BY THE REAL PARSE "
+    "PIPELINE (binance.parse_funding_rate): rates quantize to integer "
+    "nano-units (5-decimal rates are exact at 1e9), per-period sums and "
+    "the running cross-period accrual are associative integer sums under "
+    "a per-symbol window ordered by funding_time (bounded partitions: "
+    "one row per 8h period), and the published accrued rate is one IEEE "
+    "division at the end. The position-cost computation every perp "
+    "consumer runs downstream of the reference's FundingRateMsg.",
+)
+def funding_accrual_8h(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    raw = _funding_msgs(spark, sf_dir)
+    parsed = binance.parse_funding_rate(raw)
+    fr = parsed.select(
+        "symbol",
+        "funding_time",
+        F.round(F.col("funding_rate") * 1e9).cast("long").alias("rate_nano"),
+    )
+    per = fr.groupBy("symbol", "funding_time").agg(
+        F.count(F.lit(1)).alias("n_updates"),
+        F.sum("rate_nano").cast("long").alias("rate_nano_sum"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("funding_time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rate_nano_sum").over(w)
+    return per.select(
+        "*",
+        cum.cast("long").alias("cum_rate_nano"),
+        (cum / F.lit(1e9)).alias("accrued_rate"),
+    )
