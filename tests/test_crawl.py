@@ -642,3 +642,79 @@ def test_redirect_resolve_long_chain_log_rounds(spark):
     }
     assert got[40] == (0, 40)
     assert got[0] == (0, 0)
+
+
+def test_sitemap_extract_differential_fuzz(spark):
+    """Differential check of the sitemap <url>/<loc>/<lastmod> extraction
+    regexes against Python `re` over seeded-random XML with adversarial
+    nesting noise (missing lastmod, empty loc, attributes, whitespace) —
+    one Spark job. Patterns live in the Java ∩ RE2 ∩ Python lazy-quantifier
+    subset."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(818)
+
+    def entry(loc, lastmod):
+        lm = f"<lastmod>{lastmod}</lastmod>" if lastmod is not None else ""
+        return f"<url><loc>{loc}</loc>{lm}</url>"
+
+    bodies = []
+    for _ in range(1500):
+        n = rng.randrange(0, 5)
+        parts = ["<urlset>"]
+        for _ in range(n):
+            loc = rng.choice(
+                [
+                    f"https://h{rng.randrange(4)}.io/p{rng.randrange(99)}",
+                    "HTTPS://UP.example.COM:443/x#f",
+                    "",  # empty loc
+                    "https://a.b/?q=1&p=2",
+                ]
+            )
+            lastmod = rng.choice(["2024-01-02", "2023-12-31", None])
+            parts.append(entry(loc, lastmod))
+        if rng.random() < 0.3:
+            parts.append("<sitemap><loc>nested-index-not-a-url-entry</loc></sitemap>")
+        parts.append("</urlset>")
+        bodies.append("".join(parts))
+
+    url_re, loc_re, lm_re = (
+        r"<url>(.*?)</url>",
+        r"<loc>([^<]*)</loc>",
+        r"<lastmod>([^<]*)</lastmod>",
+    )
+
+    def ref(body):
+        out = []
+        for u in re.findall(url_re, body):
+            m_loc = re.search(loc_re, u)
+            m_lm = re.search(lm_re, u)
+            out.append(
+                (m_loc.group(1) if m_loc else "", m_lm.group(1) if m_lm else "")
+            )
+        return out
+
+    df = spark.createDataFrame([(b,) for b in bodies], "body string")
+    got = (
+        df.select(
+            "body",
+            F.transform(
+                F.regexp_extract_all("body", F.lit(url_re), 1),
+                lambda u: F.struct(
+                    F.regexp_extract(u, loc_re, 1).alias("loc"),
+                    F.regexp_extract(u, lm_re, 1).alias("lm"),
+                ),
+            ).alias("es"),
+        )
+        .collect()
+    )
+    bad = 0
+    for r in got:
+        want = ref(r["body"])
+        have = [(e["loc"], e["lm"]) for e in r["es"]]
+        if want != have:
+            bad += 1
+    assert bad == 0, f"{bad} of {len(got)} bodies disagree with the re reference"
