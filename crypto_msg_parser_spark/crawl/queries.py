@@ -1049,3 +1049,83 @@ def robots_sitemap_discovery(spark, sf_dir):
     return ex.select(
         "host", "position", canonical_url(F.col("raw")).alias("sitemap_url")
     )
+
+
+_CB_THRESHOLD = 5  # consecutive failures that open the circuit
+
+
+@query(
+    "host_circuit_breaker",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_SQL_HOST} AS host, p_partkey AS k,
+             (('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '#cb'), 1, 15))
+                ::BIGINT % 7 = 0
+              OR (p_partkey >= 100 AND p_partkey < 110)) AS failed
+      FROM part),
+    r AS (
+      SELECT host, k, failed,
+             row_number() OVER (PARTITION BY host ORDER BY k) AS rn,
+             row_number() OVER (PARTITION BY host, failed ORDER BY k) AS rn_s
+      FROM f),
+    runs AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS run_len
+      FROM r WHERE failed GROUP BY host, rn - rn_s)
+    SELECT f.host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           coalesce((SELECT CAST(max(run_len) AS BIGINT) FROM runs
+                     WHERE runs.host = f.host), 0) AS max_consec_errors,
+           coalesce((SELECT max(run_len) FROM runs
+                     WHERE runs.host = f.host), 0) >= {_CB_THRESHOLD}
+             AS circuit_open
+    FROM f GROUP BY f.host
+    """,
+    doc="per-host fetch circuit breaker — the error-budget arm of the "
+    "politeness scheduler: consecutive-failure runs found with the "
+    "gaps-and-islands difference-of-row_numbers idiom (two per-host "
+    "windows, no iteration), breaker opens at 5 consecutive failures. "
+    "Keys 100-109 carry a planted failure burst; in binance's own "
+    "per-host sequence that is 6 consecutive failures (its keys 100-105) "
+    "so ONLY its breaker opens — okx sees 2, below threshold; random "
+    "failures alone (hash-seeded, rate 1/7) almost never produce 5 in a "
+    "row. Per-host windows are the "
+    "natural partitioning at crawl scale (millions of hosts); the "
+    "4-host synthetic is the demo shape, same as politeness_schedule.",
+)
+def host_circuit_breaker(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    failed = (
+        stable_hash64(F.concat(k.cast("string"), F.lit("#cb"))) % 7 == 0
+    ) | ((k >= 100) & (k < 110))
+    f = p.select(_host().alias("host"), k.alias("k"), failed.alias("failed"))
+    rn = F.row_number().over(Window.partitionBy("host").orderBy("k"))
+    rn_s = F.row_number().over(
+        Window.partitionBy("host", "failed").orderBy("k")
+    )
+    r = f.select("*", rn.alias("rn"), rn_s.alias("rn_s"))
+    runs = (
+        r.filter("failed")
+        .groupBy("host", (F.col("rn") - F.col("rn_s")).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("host")
+        .agg(F.max("run_len").cast("long").alias("max_consec_errors"))
+    )
+    per_host = f.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col("failed").cast("long")).cast("long").alias("n_errors"),
+    )
+    return per_host.join(runs, "host", "left").select(
+        "host",
+        "n_fetches",
+        "n_errors",
+        F.coalesce("max_consec_errors", F.lit(0)).cast("long").alias(
+            "max_consec_errors"
+        ),
+        (F.coalesce("max_consec_errors", F.lit(0)) >= _CB_THRESHOLD).alias(
+            "circuit_open"
+        ),
+    )
