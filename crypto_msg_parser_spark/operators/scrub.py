@@ -366,3 +366,101 @@ def corpus_importance_resample(spark, sf_dir):
         .cast("long")
         .alias("kept_quality_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus audit report — per-source observability over the whole scrub
+# family (what a data-quality dashboard reads every pipeline run)
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_audit_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             ((CAST(len(ws) AS BIGINT) BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+              AND (list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+                   / len(ws) BETWEEN {MIN_MWL} AND {MAX_MWL})
+              AND (len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   / len(ws) >= {MIN_ALPHA_FRAC})
+              AND (len(list_filter(list_distinct(ws),
+                   w -> list_contains({GOPHER_STOPWORDS!r}, w)))
+                   >= {MIN_STOP_HITS})) AS keep
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    p AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '{EMAIL_RE}'))
+                  + len(regexp_extract_all(aug, '{PHONE_RE}'))
+                  + len(regexp_extract_all(aug, '{IPV4_RE}')) AS BIGINT)
+               AS n_pii
+      FROM (SELECT doc_id, {_SQL_AUG} AS aug FROM documents)),
+    wins AS (
+      SELECT doc_id,
+             CAST(greatest(len(ws) - {WINDOW_W - 1}, 0) AS BIGINT)
+               AS n_windows,
+             CASE WHEN len(ws) >= {WINDOW_W}
+                  THEN list_transform(
+                         generate_series(1, len(ws) - {WINDOW_W - 1}),
+                         i -> array_to_string(ws[i:i + {WINDOW_W - 1}], ' '))
+                  ELSE [] END AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    base AS (SELECT doc_id, unnest(gs) AS gr FROM wins),
+    dup AS (
+      SELECT gr FROM (
+        SELECT gr, count(DISTINCT doc_id) AS nd FROM base GROUP BY gr)
+      WHERE nd >= 2),
+    hits AS (
+      SELECT doc_id, count(*) AS n_dup
+      FROM base JOIN dup USING (gr) GROUP BY doc_id),
+    d AS (
+      SELECT w.doc_id,
+             (coalesce(h.n_dup, 0) / greatest(w.n_windows, 1)
+                >= {DUP_FRAC_FLAG}) AS flag_dup
+      FROM wins w LEFT JOIN hits h USING (doc_id))
+    SELECT doc.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep_gopher,
+           CAST(sum(p.n_pii) AS BIGINT) AS n_pii_total,
+           CAST(sum(CASE WHEN d.flag_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_flagged,
+           CAST(sum(CASE WHEN g.keep AND NOT d.flag_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM documents doc
+    JOIN g ON g.doc_id = doc.doc_id
+    JOIN p ON p.doc_id = doc.doc_id
+    JOIN d ON d.doc_id = doc.doc_id
+    GROUP BY doc.source
+    """,
+    doc="per-source corpus audit report — the observability row a "
+    "data-quality dashboard reads every pipeline run: Gopher keep rate, "
+    "total PII density, duplicated-window flags and the clean-doc count "
+    "(keep AND not dup), joined per doc_id then one partial-agg "
+    "groupBy(source). All counters are integer sums; the three signal "
+    "frames come from the same operators registered individually "
+    "(gopher_quality_filter, pii_scrub, dup_ngram_windows), so a "
+    "dashboard drift here means one of THEM drifted.",
+)
+def corpus_audit_report(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    p = pii_scrub(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n_pii"),
+    )
+    d = dup_ngram_windows(spark, sf_dir).select("doc_id", "flag_dup")
+    j = (
+        docs.select("doc_id", "source")
+        .join(g, "doc_id")
+        .join(p, "doc_id")
+        .join(d, "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep_gopher"),
+        F.sum("n_pii").cast("long").alias("n_pii_total"),
+        F.sum(F.col("flag_dup").cast("long")).cast("long").alias("n_dup_flagged"),
+        F.sum((F.col("keep") & ~F.col("flag_dup")).cast("long"))
+        .cast("long")
+        .alias("n_clean"),
+    )
