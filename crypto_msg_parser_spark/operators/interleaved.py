@@ -897,3 +897,74 @@ def web_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         "pack_id",
     )
+
+
+@query(
+    "docs_lake_roundtrip",
+    oracle="""
+    SELECT (doc_id % 7 = 0) AS has_media,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+    FROM documents GROUP BY doc_id % 7 = 0
+    """,
+    doc="the north-rule landing step made a CORRECTNESS row: the "
+    "interleaved span table is ACTUALLY WRITTEN to a partitioned "
+    "parquet lake (partition key = media presence; the Iceberg-table "
+    "stand-in, same convention as sinks.write_parquet_lake) and read "
+    "back, and every document's span-sequence signature AND reassembled "
+    "text must survive the codec round-trip — n_roundtrip_ok counts "
+    "docs whose (kind, text, media_ref, order) sequence is bit-equal "
+    "after the write/read. Arrays of structs cross the parquet "
+    "nested-type path, the part every toy sink skips.",
+)
+def docs_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    inter = synth_interleaved(docs)
+    staged = inter.select(
+        "doc_id",
+        "spans",
+        F.exists("spans", lambda s: s["kind"] == F.lit("media")).alias(
+            "has_media"
+        ),
+    )
+    lake = tempfile.mkdtemp(prefix="docs_lake_")
+    try:
+        staged.write.mode("overwrite").partitionBy("has_media").parquet(lake)
+        # partition values come back as directory strings; restore the type
+        back = spark.read.parquet(lake).withColumn(
+            "has_media", F.col("has_media").cast("boolean")
+        )
+        sig_mem = span_sequence_signature(inter).select(
+            "doc_id",
+            F.col("seq_sig").alias("sig_a"),
+            F.col("reassembled").alias("re_a"),
+        )
+        sig_back = span_sequence_signature(
+            back.select("doc_id", "spans")
+        ).select(
+            "doc_id",
+            F.col("seq_sig").alias("sig_b"),
+            F.col("reassembled").alias("re_b"),
+        )
+        ok = (F.col("sig_a") == F.col("sig_b")) & (
+            F.col("re_a") == F.col("re_b")
+        )
+        out = (
+            back.select("doc_id", "has_media")
+            .join(sig_mem, "doc_id")
+            .join(sig_back, "doc_id")
+            .groupBy("has_media")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(ok.cast("long")).cast("long").alias("n_roundtrip_ok"),
+            )
+        )
+        rows = out.collect()  # materialize BEFORE the lake dir is removed
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "has_media boolean, n_docs long, n_roundtrip_ok long"
+    )
