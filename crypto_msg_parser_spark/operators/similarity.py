@@ -490,3 +490,57 @@ def ann_recall_report(spark, sf_dir):
             "recall_at_k"
         ),
     )
+
+
+@query(
+    "semantic_dedup_drop",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {EMB_NEARDUP_THRESHOLD}),
+    dropped AS (SELECT DISTINCT drop_id FROM pairs)
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM e LEFT JOIN dropped d ON d.drop_id = e.vec_id
+    GROUP BY e.label
+    """,
+    doc="SemDeDup (Abbas et al. 2023): within each coarse cell, DROP any "
+    "vector whose cosine to a LOWER-id vector clears the threshold — the "
+    "deterministic keep-the-canonical-representative rule, computed from "
+    "the cell-blocked pair table (neardup_embedding_cosine's shape) as "
+    "one distinct + one anti-join-style left join; never all-pairs "
+    "across cells, O(sum cell_size^2) like every cell-blocked member of "
+    "the dedup family. Per-cell survivor accounting in integer counts.",
+)
+def semantic_dedup_drop(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            cosine(F.col("a.v"), F.col("b.v")) >= EMB_NEARDUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+    )
+    marked = e.select("vec_id", "label").join(
+        pairs, e["vec_id"] == pairs["drop_id"], "left"
+    )
+    dropped = F.col("drop_id").isNotNull()
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(dropped.cast("long")).cast("long").alias("n_dropped"),
+        F.sum((~dropped).cast("long")).cast("long").alias("n_kept"),
+    )
