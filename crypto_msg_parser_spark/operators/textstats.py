@@ -379,3 +379,33 @@ def word_rarity_score(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_rarity"),
     )
+
+
+@query(
+    "length_percentiles_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents GROUP BY source
+    """,
+    doc="per-source document-length percentiles — the length-distribution "
+    "drift monitor every corpus-ingest pipeline runs (a source whose p99 "
+    "collapses is truncating; one whose p50 explodes is concatenating). "
+    "Spark's exact `percentile` and DuckDB's quantile_cont share the "
+    "linear-interpolation convention, verified bit-exact on every group. "
+    "Exact percentile buffers each group's values; the 100 TB path is "
+    "approx_percentile(col, p, accuracy) — same plan shape, sketch-"
+    "merged, but approximate and therefore not value-hash-checkable; "
+    "this exact row is its oracle-checked semantic twin.",
+)
+def length_percentiles_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    )
