@@ -1,9 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+short JSON headline line (sized to fit the driver's ~2.2 KB stdout-tail
+capture):
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "n_queries": K, ...}
 
+with the full per-query detail written to BENCH/bench_local_latest.json.
 `value` is total wall-clock seconds across the headline queries (lower is
 better). Use tools/bench_scaling.py for the N-vs-4N scaling-efficiency run
 (BENCH/BASELINE.md).
@@ -142,4 +144,28 @@ def run(sf_dir: str, cores: int) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run(sf_dir, cores)))
+    result = run(sf_dir, cores)
+    # The driver records only the LAST ~2.2 KB of stdout and parses the
+    # final JSON line; the full per-query detail line outgrew that in r03
+    # (BENCH_r03.json came back parsed: null). So: write the full detail
+    # to BENCH/bench_local_latest.json, and print a SHORT headline line
+    # (guaranteed to fit the tail capture) as the final stdout line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "bench_local_latest.json",
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "n_queries": len(result["queries"]),
+        "runs_per_query": result["runs_per_query"],
+        "sf": result["sf"],
+        "cores": result["cores"],
+        "detail": "BENCH/bench_local_latest.json",
+    }
+    print(json.dumps(headline))

@@ -367,7 +367,15 @@ def frontier_checkpoint_resume(spark, sf_dir):
         )
         # fresh read path: restore the committed state from disk
         _, seen_restored, m2 = ckpt.restore(spark, "epoch1")
-        assert m2["seen_rows"] == manifest["seen_rows"]
+        # explicit raise (not `assert`, which `python -O` strips): the
+        # oracle-checked n_seen_at_checkpoint must come from a manifest
+        # that actually round-tripped through the snapshot commit
+        if m2["seen_rows"] != manifest["seen_rows"]:
+            raise RuntimeError(
+                "checkpoint manifest did not round-trip: restored "
+                f"seen_rows={m2['seen_rows']!r} != committed "
+                f"{manifest['seen_rows']!r}"
+            )
         # epoch 2: whole frontier against the restored seen set
         _docs2, new2, seen2 = crawl_step(spark, full, seen_restored)
         n_after = seen2.count()  # bounded scalar, resume-progress metric
@@ -742,39 +750,58 @@ def redirect_resolve(spark, sf_dir, max_iters: int = 10,
 def resolve_pointer_doubling(edges, max_iters: int = 10,
                              checkpoint_dir: str | None = None):
     """Resolve a total (src -> nxt, h) one-step map to its fixpoint by
-    pointer doubling. Raises at the iteration cap (cycle, or chain longer
-    than 2^max_iters)."""
+    pointer doubling. Contract: terminal nodes self-loop with h = 0
+    (``nxt == src AND h == 0``), as the redirect map construction
+    guarantees. Chains up to length 2^max_iters resolve (max_iters
+    doublings); a redirect CYCLE raises at the cap.
+
+    Convergence is detected DIRECTLY (round-3 ADVICE fix): after joining
+    each row to its target's mapping, the map is at fixpoint iff every
+    row's target is a true terminal (``b_nxt == nxt AND b_h == 0``), so no
+    extra confirming round is needed and an already-resolved map returns
+    immediately even with max_iters = 0. The h = 0 qualifier is what keeps
+    cycle detection sound: a collapsed cycle also self-loops, but with an
+    ever-DOUBLING h, so it never satisfies the terminal test and hits the
+    RuntimeError cap instead of silently mis-resolving. The per-round
+    convergence probe is a count on the same join the doubling step needs
+    — one equi-join + one bounded scalar per round, no extra shuffle.
+    """
     from crypto_msg_parser_spark.operators.dedup import _barrier
 
     m = _barrier(edges, checkpoint_dir)
-    prev = None
-    converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters + 1):
         b = m.select(
             F.col("src").alias("b_src"),
             F.col("nxt").alias("b_nxt"),
             F.col("h").alias("b_h"),
         )
+        joined = m.join(b, F.col("nxt") == F.col("b_src"))
+        # direct fixpoint probe (bounded scalar, loop control only):
+        # unresolved rows are those whose target is not a true terminal
+        unresolved = (
+            joined.filter(
+                (F.col("b_nxt") != F.col("nxt")) | (F.col("b_h") != 0)
+            )
+            .limit(1)
+            .count()
+        )
+        if unresolved == 0:
+            return m
+        if it == max_iters:
+            break
         m = _barrier(
-            m.join(b, F.col("nxt") == F.col("b_src")).select(
+            joined.select(
                 "src",
                 F.col("b_nxt").alias("nxt"),
                 (F.col("h") + F.col("b_h")).alias("h"),
             ),
             checkpoint_dir,
         )
-        tot = m.agg(F.sum("h")).head()[0]  # 1-row scalar, loop control only
-        if prev is not None and tot == prev:
-            converged = True
-            break
-        prev = tot
-    if not converged:
-        raise RuntimeError(
-            f"redirect_resolve: no fixpoint after {max_iters} doubling "
-            "rounds — redirect cycle or chain longer than "
-            f"2^{max_iters}; raise max_iters"
-        )
-    return m
+    raise RuntimeError(
+        f"redirect_resolve: no fixpoint after {max_iters} doubling "
+        "rounds — redirect cycle or chain longer than "
+        f"2^{max_iters}; raise max_iters"
+    )
 
 
 @query(
@@ -1014,7 +1041,14 @@ _ROBOTS_SITEMAP_BODIES = [
         "Sitemap: https://www.okx.com/sitemap.xml\n"
         "User-agent: *\nDisallow: /admin\n",
     ),
-    ("api.huobi.pro", 1000, "User-agent: *\nDisallow: /api\n"),
+    (
+        "api.huobi.pro",
+        1000,
+        # exotic casings: RFC 9309 field names are fully case-insensitive
+        "User-agent: *\nDisallow: /api\n"
+        "SITEMAP: https://api.huobi.pro/sitemap.xml\n"
+        "SiteMap: https://api.huobi.pro/sitemap2.xml\n",
+    ),
 ]
 
 
@@ -1024,7 +1058,9 @@ _ROBOTS_SITEMAP_BODIES = [
     SELECT * FROM (VALUES
       ('api.binance.com', 0, 'https://api.binance.com/sitemap.xml'),
       ('api.binance.com', 1, 'https://api.binance.com/sitemap-alt.xml'),
-      ('www.okx.com', 0, 'https://www.okx.com/sitemap.xml'))
+      ('www.okx.com', 0, 'https://www.okx.com/sitemap.xml'),
+      ('api.huobi.pro', 0, 'https://api.huobi.pro/sitemap.xml'),
+      ('api.huobi.pro', 1, 'https://api.huobi.pro/sitemap2.xml'))
     AS t(host, position, sitemap_url)
     """,
     doc="Sitemap: directive discovery from robots.txt (RFC 9309 §2.3 — "
@@ -1042,8 +1078,10 @@ def robots_sitemap_discovery(spark, sf_dir):
     fetched = spark.createDataFrame(
         _ROBOTS_SITEMAP_BODIES, ROBOTS_FETCH_SCHEMA
     )
+    # (?i) — RFC 9309 field names are FULLY case-insensitive ('SITEMAP:',
+    # 'SiteMap:' included), not just the two common casings
     maps = F.regexp_extract_all(
-        "body", F.lit(r"(?m)^[Ss]itemap:[ \t]*([^\r\n]+)"), 1
+        "body", F.lit(r"(?mi)^sitemap:[ \t]*([^\r\n]+)"), 1
     )
     ex = fetched.select("host", F.posexplode(maps).alias("position", "raw"))
     return ex.select(

@@ -54,12 +54,24 @@ ROBOTS_FETCH_SCHEMA = "host string, fetched_at long, body string"
 
 _RULE = "struct<allow:boolean, pattern:string>"
 _ACC = (
-    f"struct<in_star:boolean, rules:array<{_RULE}>, crawl_delay:double>"
+    f"struct<in_star:boolean, saw_rule:boolean, "
+    f"rules:array<{_RULE}>, crawl_delay:double>"
 )
 
 
 def _fold_line(acc: Column, line: Column) -> Column:
-    """One robots.txt line through the section state machine."""
+    """One robots.txt line through the section state machine.
+
+    RFC 9309 §2.1 merges ADJACENT ``User-agent`` lines into one group:
+    in ``User-agent: *\\nUser-agent: googlebot\\nDisallow: /x`` the
+    Disallow applies to BOTH agents. The accumulator therefore carries a
+    ``saw_rule`` flag: a UA line after a rule line starts a fresh group
+    (in_star resets to this agent), while a UA line immediately following
+    another UA line only WIDENS the current group's membership
+    (in_star OR= this-agent-is-star). Rule lines (allow/disallow/
+    crawl-delay) set saw_rule regardless of group so a later ``UA: *``
+    after a specific-UA group starts clean.
+    """
     # comments run from '#' to end of line (RFC 9309 §2.2.4)
     raw = F.substring_index(line, "#", 1)
     l = F.lower(F.trim(raw))
@@ -68,39 +80,59 @@ def _fold_line(acc: Column, line: Column) -> Column:
     is_dis = l.startswith("disallow:")
     is_allow = l.startswith("allow:")
     is_delay = l.startswith("crawl-delay:")
+    is_rule = is_dis | is_allow | is_delay
     # value keeps original case (paths are case-sensitive); everything
     # after the FIRST ':' so patterns containing ':' survive
     value = F.trim(F.regexp_extract(F.trim(raw), "^[^:]*:(.*)$", 1))
+
+    def _acc(in_star: Column, saw_rule: Column, rules: Column,
+             crawl_delay: Column) -> Column:
+        return F.struct(
+            in_star.alias("in_star"),
+            saw_rule.alias("saw_rule"),
+            rules.alias("rules"),
+            crawl_delay.alias("crawl_delay"),
+        )
 
     def _with_rule(allow: bool) -> Column:
         rule = F.struct(
             F.lit(allow).alias("allow"), value.alias("pattern")
         )
-        return F.struct(
-            acc["in_star"].alias("in_star"),
-            F.array_append(acc["rules"], rule).alias("rules"),
-            acc["crawl_delay"].alias("crawl_delay"),
+        return _acc(
+            acc["in_star"],
+            F.lit(True),
+            F.array_append(acc["rules"], rule),
+            acc["crawl_delay"],
         )
 
+    ua_starts_group = acc["saw_rule"]  # previous group ended by a rule line
     return (
         F.when(
             is_ua,
-            F.struct(
-                (agent == "*").alias("in_star"),
-                acc["rules"].alias("rules"),
-                acc["crawl_delay"].alias("crawl_delay"),
+            _acc(
+                F.when(ua_starts_group, agent == "*").otherwise(
+                    acc["in_star"] | (agent == "*")
+                ),
+                F.lit(False),
+                acc["rules"],
+                acc["crawl_delay"],
             ),
         )
         .when(is_dis & acc["in_star"] & (value != ""), _with_rule(False))
         .when(is_allow & acc["in_star"] & (value != ""), _with_rule(True))
         .when(
             is_delay & acc["in_star"],
-            F.struct(
-                acc["in_star"].alias("in_star"),
-                acc["rules"].alias("rules"),
-                value.cast("double").alias("crawl_delay"),
+            _acc(
+                acc["in_star"],
+                F.lit(True),
+                acc["rules"],
+                value.cast("double"),
             ),
         )
+        # rule line outside the star group (or empty-value rule): it still
+        # TERMINATES UA-line accumulation for the current group
+        .when(is_rule, _acc(acc["in_star"], F.lit(True), acc["rules"],
+                            acc["crawl_delay"]))
         .otherwise(acc)
     )
 
@@ -110,8 +142,9 @@ def parse_robots(fetched: DataFrame) -> DataFrame:
     crawl_delay) — the ``User-agent: *`` group's rules, parsed by a
     codegen'd line fold (no Python). ``disallow`` is the plain-prefix
     projection kept for consumers that only need the deny list."""
+    # saw_rule starts TRUE so the file's first UA line starts a fresh group
     init = F.expr(
-        "named_struct('in_star', false, 'rules', "
+        "named_struct('in_star', false, 'saw_rule', true, 'rules', "
         f"cast(array() as array<{_RULE}>), "
         "'crawl_delay', cast(null as double))"
     ).cast(_ACC)

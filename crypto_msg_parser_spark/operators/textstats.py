@@ -396,10 +396,12 @@ def word_rarity_score(spark, sf_dir):
     "collapses is truncating; one whose p50 explodes is concatenating). "
     "Spark's exact `percentile` and DuckDB's quantile_cont share the "
     "linear-interpolation convention, verified bit-exact on every group. "
-    "Exact percentile buffers each group's values; the 100 TB path is "
-    "approx_percentile(col, p, accuracy) — same plan shape, sketch-"
-    "merged, but approximate and therefore not value-hash-checkable; "
-    "this exact row is its oracle-checked semantic twin.",
+    "CONTRACT (bounded groups): exact percentile buffers each group's "
+    "values in executor memory, so this row is only for per-source doc "
+    "counts that fit one executor (fine for per-day/per-shard monitoring "
+    "slices); the registered 100 TB path is the sketch-merged "
+    "length_percentiles_approx_by_source below, whose in-plan rank gate "
+    "proves the sketch against exact ranks on every run.",
 )
 def length_percentiles_by_source(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -409,3 +411,63 @@ def length_percentiles_by_source(spark, sf_dir):
         F.expr("percentile(n_chars, 0.9)").alias("p90"),
         F.expr("percentile(n_chars, 0.99)").alias("p99"),
     )
+
+
+_APPROX_PCTL_ACCURACY = 10000
+_APPROX_PCTL_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "length_percentiles_approx_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM documents GROUP BY source
+    """,
+    doc="the 100 TB twin of length_percentiles_by_source: "
+    "approx_percentile (Greenwald-Khanna sketch, constant memory per "
+    "group, partial-agg mergeable — never buffers a group's values) with "
+    "an IN-PLAN accuracy gate. The sketch's raw outputs aren't hash-"
+    "comparable across engines, so the row instead verifies the sketch's "
+    "published rank guarantee and returns booleans: the per-source "
+    "approx values (a tiny frame, |sources| rows) are equi-joined back "
+    "onto documents, each value's true rank interval [count(<v), "
+    "count(<=v)] is computed by one partial agg, and pXX_ok asserts the "
+    "interval intersects [p*n - tol, p*n + tol] with tol = n/accuracy + 1 "
+    "(the GK bound, +1 for rank-convention slack). Oracle = the all-TRUE "
+    "closed form with exact per-source counts — a sketch that ever "
+    "violates its bound turns a boolean false and fails the value hash. "
+    "Two shuffles (sketch agg, rank agg) + one small-side equi-join that "
+    "AQE broadcasts at runtime; scale-safe at any group size.",
+)
+def length_percentiles_approx_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ps = ", ".join(str(p) for p in _APPROX_PCTL_PS)
+    ap = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"approx_percentile(n_chars, array({ps}), {_APPROX_PCTL_ACCURACY})"
+        ).alias("ap"),
+    )
+    j = docs.select("source", "n_chars").join(ap, "source")
+    aggs = [F.first("n_docs").alias("n_docs")]
+    for i in range(len(_APPROX_PCTL_PS)):
+        v = F.col("ap")[i]
+        aggs.append(
+            F.sum((F.col("n_chars") < v).cast("long")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("n_chars") <= v).cast("long")).alias(f"le{i}")
+        )
+    ranked = j.groupBy("source").agg(*aggs)
+    n = F.col("n_docs").cast("double")
+    tol = n / _APPROX_PCTL_ACCURACY + 1
+    cols = [F.col("source"), F.col("n_docs")]
+    for i, p in enumerate(_APPROX_PCTL_PS):
+        target = F.lit(p) * n
+        ok = (F.col(f"lt{i}") <= target + tol) & (
+            F.col(f"le{i}") >= target - tol
+        )
+        cols.append(ok.alias(f"p{int(p * 100)}_ok"))
+    return ranked.select(*cols)

@@ -357,6 +357,46 @@ def test_robots_parse_and_cache(spark):
     assert "stale.example" not in merged
 
 
+def test_robots_adjacent_ua_lines_share_group(spark):
+    """RFC 9309 §2.1: adjacent User-agent lines form ONE group — the rules
+    after 'User-agent: *\\nUser-agent: googlebot' bind to BOTH agents, so
+    the star group must keep them (round-3 ADVICE: the old fold reset
+    in_star on every UA line and failed OPEN on this shape)."""
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        parse_robots,
+    )
+
+    fetched = spark.createDataFrame(
+        [
+            # star first, specific second: rules bind to both
+            ("a.example", 1, "User-agent: *\nUser-agent: googlebot\nDisallow: /x\n"),
+            # specific first, star second: same group, same rules
+            ("b.example", 1, "User-agent: googlebot\nUser-agent: *\nDisallow: /y\n"),
+            # a rule line SPLITS the groups: star group here is only /s
+            (
+                "c.example",
+                1,
+                "User-agent: googlebot\nDisallow: /g\n"
+                "User-agent: *\nDisallow: /s\n",
+            ),
+            # empty-value Disallow still terminates UA accumulation
+            (
+                "d.example",
+                1,
+                "User-agent: googlebot\nDisallow:\n"
+                "User-agent: *\nDisallow: /z\n",
+            ),
+        ],
+        ROBOTS_FETCH_SCHEMA,
+    )
+    got = {r["host"]: r["disallow"] for r in parse_robots(fetched).collect()}
+    assert got["a.example"] == ["/x"]
+    assert got["b.example"] == ["/y"]
+    assert got["c.example"] == ["/s"]
+    assert got["d.example"] == ["/z"]
+
+
 def test_robots_then_schedule_matches_simulator(spark):
     """north_rule end-to-end with robots in the loop: the robots gate
     (disallow filter + Crawl-delay budget clamp) composed with the
