@@ -87,8 +87,12 @@ def encode_orderbook(ts_ms: int, snapshot: bool, asks, bids) -> bytes:
     out = _timestamp_field(1, int(ts_ms))
     if snapshot:
         out += _tag(2, 0) + b"\x01"
+    # NB: `side` may be a numpy array when called from an Arrow batch
+    # (truthiness of a len>1 ndarray raises), so test None explicitly.
     for field, side in ((3, asks), (4, bids)):
-        for o in side or []:
+        if side is None:
+            continue
+        for o in side:
             sub = _encode_order(
                 o["price"], o["quantity_base"], o["quantity_quote"],
                 o["quantity_contract"],
@@ -238,5 +242,76 @@ def write_proto_trades(df: DataFrame, path: str) -> None:
     layout rule as the TSV sink (identity in the path, payload in the
     file)."""
     to_proto_trades(df).write.partitionBy(
+        "exchange", "market_type", "msg_type"
+    ).mode("overwrite").parquet(path)
+
+
+PROTO_ORDERBOOK_DDL = PROTO_TRADE_DDL
+
+
+def to_proto_orderbooks(df: DataFrame) -> DataFrame:
+    """OrderBookMsg rows -> proto3 payloads (the reference's
+    OrderBookMsg::to_proto, crypto-message/src/lib.rs:385-420). Identity
+    columns ride alongside the payload; the proto message carries only
+    timestamp/snapshot/asks/bids — seq_id and prev_seq_id are NOT part of
+    the wire schema, matching from_proto's None on the way back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                encode_orderbook(t, bool(snap), asks, bids)
+                for t, snap, asks, bids in zip(
+                    pdf["timestamp"], pdf["snapshot"], pdf["asks"],
+                    pdf["bids"],
+                )
+            ]
+            out = pdf[
+                ["exchange", "market_type", "msg_type", "pair", "symbol"]
+            ].copy()
+            out["payload"] = payload
+            yield out
+
+    return df.mapInPandas(run, PROTO_ORDERBOOK_DDL)
+
+
+_ORDER_DDL = (
+    "array<struct<price:double, quantity_base:double, "
+    "quantity_quote:double, quantity_contract:double>>"
+)
+
+FROM_PROTO_ORDERBOOK_DDL = (
+    "exchange string, market_type string, msg_type string, pair string, "
+    "symbol string, timestamp long, snapshot boolean, "
+    f"asks {_ORDER_DDL}, bids {_ORDER_DDL}, "
+    "seq_id long, prev_seq_id long"
+)
+
+
+def from_proto_orderbooks(df: DataFrame) -> DataFrame:
+    """proto3 payloads -> OrderBookMsg rows (float32 precision; seq_id /
+    prev_seq_id null and json empty — exactly the reference's
+    OrderBookMsg::from_proto, crypto-message/src/lib.rs:422-469)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_orderbook(b) for b in pdf["payload"]]
+            out = pdf[
+                ["exchange", "market_type", "msg_type", "pair", "symbol"]
+            ].copy()
+            out["timestamp"] = [r["timestamp"] for r in rows]
+            out["snapshot"] = [r["snapshot"] for r in rows]
+            out["asks"] = [r["asks"] for r in rows]
+            out["bids"] = [r["bids"] for r in rows]
+            out["seq_id"] = None
+            out["prev_seq_id"] = None
+            yield out
+
+    return df.mapInPandas(run, FROM_PROTO_ORDERBOOK_DDL)
+
+
+def write_proto_orderbooks(df: DataFrame, path: str) -> None:
+    """Orderbook twin of write_proto_trades — identity in the partition
+    path, proto payload in the file."""
+    to_proto_orderbooks(df).write.partitionBy(
         "exchange", "market_type", "msg_type"
     ).mode("overwrite").parquet(path)

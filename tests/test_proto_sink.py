@@ -94,3 +94,53 @@ def test_orderbook_roundtrip():
     assert d["asks"][1]["quantity_contract"] == 0.0  # optional-present zero
     assert d["bids"][0]["quantity_contract"] is None
     assert d["bids"][0]["quantity_quote"] == 99.5
+
+
+def test_orderbook_spark_roundtrip(spark):
+    """DF-level orderbook proto wrappers mirror OrderBookMsg::to_proto /
+    from_proto (crypto-message/src/lib.rs:385-469): f32 precision on level
+    fields, exact timestamp/snapshot, seq_id/prev_seq_id dropped to NULL."""
+    from crypto_msg_parser_spark.parser import binance
+    from crypto_msg_parser_spark.proto_sink import (
+        from_proto_orderbooks,
+        to_proto_orderbooks,
+    )
+    from tests.parser_util import fixtures_df, load_fixtures
+
+    rows = load_fixtures("binance", "l2_event")
+    parsed = binance.parse_l2(fixtures_df(spark, rows))
+    back = from_proto_orderbooks(to_proto_orderbooks(parsed))
+    a = {r["symbol"]: r for r in parsed.collect()}
+    b = {r["symbol"]: r for r in back.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for sym, r in a.items():
+        got = b[sym]
+        assert got["timestamp"] == r["timestamp"]
+        assert got["snapshot"] == r["snapshot"]
+        assert got["seq_id"] is None and got["prev_seq_id"] is None
+        for side in ("asks", "bids"):
+            want_side, got_side = r[side], got[side]
+            assert len(want_side) == len(got_side)
+            for w, g in zip(want_side, got_side):
+                for k in ("price", "quantity_base", "quantity_quote"):
+                    assert abs(g[k] - w[k]) <= abs(w[k]) * 1e-6
+                wc, gc = w["quantity_contract"], g["quantity_contract"]
+                if wc is None:
+                    # f32 wire: absent optional decodes as None
+                    assert gc is None
+                else:
+                    assert abs(gc - wc) <= abs(wc) * 1e-6
+
+
+def test_write_proto_orderbooks_partition_layout(spark, tmp_path):
+    from crypto_msg_parser_spark.parser import binance
+    from crypto_msg_parser_spark.proto_sink import write_proto_orderbooks
+    from tests.parser_util import fixtures_df, load_fixtures
+
+    rows = load_fixtures("binance", "l2_event")
+    parsed = binance.parse_l2(fixtures_df(spark, rows))
+    path = str(tmp_path / "proto_books")
+    write_proto_orderbooks(parsed, path)
+    got = spark.read.parquet(path)
+    assert got.count() == parsed.count()
+    assert set(got.columns) >= {"exchange", "market_type", "msg_type", "payload"}
