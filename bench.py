@@ -80,6 +80,37 @@ HEADLINE = [
     "web_corpus_prep_full",
     "candles_rollup_5m",
     "vwap_1m",
+    # r04: every query rotated INTO the driver's CORRECTNESS sample is
+    # benched the round it is graded (VERDICT r03 #10) — market analytics,
+    # scrub/audit, crawl discovery, dedup-quality, media, and the new
+    # composed market flagship
+    "market_analytics_full",
+    "l2_spread_stats",
+    "order_flow_imbalance_1m",
+    "funding_accrual_8h",
+    "gopher_quality_filter",
+    "corpus_audit_report",
+    "robots_sitemap_discovery",
+    "recrawl_backoff",
+    "host_circuit_breaker",
+    "semantic_dedup_drop",
+    "minhash_estimate_quality",
+    "ann_recall_report",
+    "length_percentiles_by_source",
+    "length_percentiles_approx_by_source",
+    "docs_lake_roundtrip",
+    "media_resize",
+    "media_feature_extract",
+    "media_embedding_neardup",
+    "url_canonicalize",
+    "frontier_seen_dedup",
+    "host_skew_stats",
+    "range_join_error_follow",
+    "candles_recompute_1m",
+    "events_tumbling_window",
+    "tfidf_top_terms",
+    "media_frame_sample",
+    "dedup_simhash",
 ]
 
 

@@ -362,7 +362,18 @@ def tfidf_top_terms(spark, sf_dir):
     "partial-agg order, where a float idf sum (or a log-based one: ln() "
     "ulps differ across engines) would drift under value-hash compare. "
     "Two shuffles: groupBy(word) for global df, groupBy(doc_id) for the "
-    "score; the word join is equi, never all-pairs.",
+    "score; the word join is equi, never all-pairs. SKEW CONTRACT: the "
+    "raw word key is maximally skewed at corpus scale (a stop word like "
+    "'the' touches ~every doc, so one join partition would receive ~the "
+    "whole corpus). The engine relies on AQE's skew-join split "
+    "(spark.sql.adaptive.skewJoin, on by default and asserted by "
+    "tests/test_plan_shapes.py) to subdivide hot word partitions of the "
+    "sort-merge join at runtime; the dimension side (one row per distinct "
+    "word) is duplicated per split, which is sound because the join is "
+    "1:N on the df side. This is the same tested-reliance pattern as the "
+    "decontamination shingle join. Do NOT force a broadcast of the df "
+    "side: the vocabulary of a web corpus is unbounded (plan-shape guard "
+    "forbids it).",
 )
 def word_rarity_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

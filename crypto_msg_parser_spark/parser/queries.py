@@ -2115,3 +2115,94 @@ def funding_accrual_8h(spark, sf_dir):
         cum.cast("long").alias("cum_rate_nano"),
         (cum / F.lit(1e9)).alias("accrued_rate"),
     )
+
+
+@query(
+    "market_analytics_full",
+    oracle=f"""
+    {_SQL_BOOK_CTES},
+    spread AS (
+      SELECT symbol,
+             max(CASE WHEN side = 'bid' THEN price END) AS best_bid,
+             min(CASE WHEN side = 'ask' THEN price END) AS best_ask,
+             min(CASE WHEN side = 'ask' THEN price END)
+               - max(CASE WHEN side = 'bid' THEN price END) AS spread,
+             (min(CASE WHEN side = 'ask' THEN price END)
+               + max(CASE WHEN side = 'bid' THEN price END)) / 2.0 AS mid,
+             CAST(sum(CASE WHEN side = 'bid' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bid_levels,
+             CAST(sum(CASE WHEN side = 'ask' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ask_levels
+      FROM book GROUP BY symbol),
+    t AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci
+      FROM lineitem),
+    ta AS (
+      SELECT symbol,
+             CAST(sum(price_cents * qty_deci) AS BIGINT) AS notional_milli,
+             CAST(sum(qty_deci) AS BIGINT) AS qty_deci_total,
+             sum(price_cents * qty_deci) / sum(qty_deci) / 100.0 AS vwap,
+             CAST(sum(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buys,
+             CAST(sum(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sells,
+             (sum(CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END)
+              - sum(CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END))
+             / (sum(CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END)
+                + sum(CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END))
+               AS imbalance
+      FROM t GROUP BY symbol)
+    SELECT s.symbol AS symbol, best_bid, best_ask, spread, mid,
+           n_bid_levels, n_ask_levels, notional_milli, qty_deci_total,
+           vwap, n_buys, n_sells, imbalance
+    FROM spread s JOIN ta ON s.symbol = ta.symbol
+    """,
+    doc="the market-data composed FLAGSHIP: raw messages -> the real "
+    "binance parse pipeline (depth AND aggTrade arms) -> order-book "
+    "reconstruction -> top-of-book spread stats, joined per symbol with "
+    "whole-run trade analytics (VWAP / order-flow imbalance in exact "
+    "integer minor units) — the analytics twin of web_corpus_prep_full, "
+    "exercising stage COUPLING (parse -> book -> spread on one subtree, "
+    "parse -> trade-mass on the other, equi-join at the top) that "
+    "single-operator rows can't catch. Plan: each subtree is "
+    "partial-agg'd down to one row per symbol before the join, so the "
+    "join sides are bounded by the symbol universe (thousands in "
+    "production) regardless of input scale; AQE picks the join strategy. "
+    "Float determinism: best-of = max/min, money sums are integer "
+    "cents x deci-units, the published vwap/imbalance/mid are single "
+    "IEEE ops on identical scalars — hash-stable cross-engine.",
+)
+def market_analytics_full(spark, sf_dir):
+    from crypto_msg_parser_spark.plans.money import cents
+
+    spread = l2_spread_stats(spark, sf_dir)
+
+    parsed = binance.parse_trade(_spot_trade_msgs(spark, sf_dir))
+    t = parsed.select(
+        "symbol",
+        "side",
+        cents(F.col("price")).alias("price_cents"),
+        F.round(F.col("quantity_base") * 10).cast("long").alias("qty_deci"),
+    )
+    is_buy = F.col("side") == "buy"
+    buy_q = F.sum(F.when(is_buy, F.col("qty_deci")).otherwise(0)).cast("long")
+    sell_q = F.sum(F.when(~is_buy, F.col("qty_deci")).otherwise(0)).cast("long")
+    ta = t.groupBy("symbol").agg(
+        F.sum(F.col("price_cents") * F.col("qty_deci"))
+        .cast("long")
+        .alias("notional_milli"),
+        F.sum("qty_deci").cast("long").alias("qty_deci_total"),
+        (
+            F.sum(F.col("price_cents") * F.col("qty_deci"))
+            / F.sum("qty_deci")
+            / F.lit(100.0)
+        ).alias("vwap"),
+        F.sum(is_buy.cast("long")).alias("n_buys"),
+        F.sum((~is_buy).cast("long")).alias("n_sells"),
+        ((buy_q - sell_q) / (buy_q + sell_q)).alias("imbalance"),
+    )
+    return spread.join(ta, "symbol")

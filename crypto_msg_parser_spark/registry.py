@@ -89,89 +89,76 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 # Driver-sample priority. The driver's CORRECTNESS run caps at 50 queries,
 # taken in dict order — so the queries most in need of a driver-green row
-# this round must come first, independent of module import order. Round-3
-# front-load (VERDICT r02 "What's missing #1"): the whole parse_* family
-# (r01 had 4 binance failures whose fixes were never driver-confirmed),
-# the corpus composition layer (new in r02, never sampled), the crawl
-# scheduler family, asof/range, and every operator whose plan changed this
-# round (neardup_components, corpus_pack_sequences, decontamination).
-# Already-driver-green-and-unchanged queries sort after.
+# this round must come first, independent of module import order.
+#
+# Round-4 rotation (VERDICT r03 "Next round #1"): every §2 family already
+# holds a driver-green row (r03: 50/50), so this round's sample goes to the
+# 35 queries that have NEVER had a driver row across r01-r03 (the wave-2
+# analytics/scrub/crawl-discovery/media families), plus the flagship new
+# this round, plus 5 canaries the verdict named (regression sentinels for
+# the parse ladder, the two corpus flagships, and the stateful streaming
+# replay), with the tail filled by the rows whose latest driver evidence
+# is oldest (r01) or whose family was refactored.
 _PRIORITY = [
-    # r01-failing family — highest verification risk
+    # ---- canaries (VERDICT r03 #1 names) ----
     "parse_binance_spot_trade",
-    "parse_binance_inverse_swap_trade",
-    "parse_binance_funding_rate",
-    "parse_binance_l2_levels",
-    # flagship composition + scheduler (VERDICT "Done =" names)
-    "corpus_prep_full",
-    "politeness_schedule",
-    "corpus_pack_sequences",
-    "decontaminate_ngram_overlap",
-    "corpus_sample_stratified",
-    "neardup_components",
-    "frontier_seen_batch_replay",
-    # rest of the parse family (r01-green or local-oracle-only)
-    "binance_router",
-    "parse_binance_bbo",
-    "parse_binance_candlestick",
-    "parse_gate_linear_swap_trade",
-    "compact_trade_contract",
-    "parse_kucoin_spot_trade",
-    "parse_huobi_spot_trade",
-    "parse_bybit_inverse_trade",
-    "parse_kraken_spot_trade",
-    "parse_bitfinex_spot_trade",
-    "parse_bitget_spot_trade",
-    "parse_mexc_spot_trade",
-    "parse_zb_spot_trade",
-    "parse_zbg_spot_trade",
-    "parse_ftx_swap_trade",
-    "parse_dydx_swap_trade",
-    "parse_coinbase_spot_trade",
-    "parse_bitstamp_spot_trade",
-    "parse_bithumb_spot_trade",
-    "parse_bitz_spot_trade",
-    "parse_bitmex_inverse_trade",
-    "parse_okx_swap_trade",
-    "parse_okx_v3_swap_trade",
-    "parse_deribit_inverse_trade",
     "route_mixed_exchanges",
-    # interleaved-axis composed flagship (candles_recompute_1m yields its
-    # slot: it holds an r01 driver-green row and is unchanged since)
-    "interleaved_prep_full",
-    # crawl family (local-oracle-only in r02). url_canonicalize yields its
-    # slot to the end-to-end streaming crawl->interleaved-docs composition
-    # (canonicalization is exercised inside every other sampled crawl row)
-    "crawl_stream_docs_replay",
-    # the web-corpus flagship (scrub->strip->truncate->gate->pack, one
-    # plan); frontier_seen_dedup yields — its anti-join runs inside the
-    # sampled cuckoo/bloom/stream-replay rows
+    "corpus_prep_full",
     "web_corpus_prep_full",
-    "cuckoo_frontier_dedup",
-    "robots_gate",
-    # interleaved-axis composition rows new this round; host_skew_stats
-    # yields its slot (its family holds politeness/cuckoo/robots rows and
-    # the plan is a plain partial-agg groupBy)
-    "interleaved_neardup",
-    "frontier_checkpoint_resume",
-    # asof / range (r01-green, not resampled)
-    "asof_join_purchase_view",
-    # range_join_error_follow yields its slot (r01 driver-green, plan
-    # unchanged since) to the in-span PII redaction row
-    "spans_pii_scrub",
-    # rows NEW this round (streaming watermark semantics, seq-gap QA,
-    # bloom prefilter) — never driver-sampled before, so they outrank
-    # anchors whose family already holds other r02-green rows
-    # (events_tumbling_window, ann_ivf/lsh, spans_media/text)
-    "events_stream_late_drop",
-    "l2_seq_gap_detect",
-    "bloom_frontier_dedup",
-    # stateful streaming rate-budget enforcement, new this wave
-    # (q1_pricing_summary yields its canary slot: it is the entry() smoke
-    # check and r02-green; the LSH canary stays because its core was
-    # refactored this wave)
-    "stream_rate_limit",
-    "neardup_minhash_lsh",
+    "frontier_seen_batch_replay",
+    # ---- NEW this round: the market-data composed flagship ----
+    "market_analytics_full",
+    # ---- never driver-sampled (r01-r03): market analytics wave ----
+    "l2_book_reconstruct",
+    "l2_spread_stats",
+    "candles_rollup_5m",
+    "vwap_1m",
+    "order_flow_imbalance_1m",
+    "funding_accrual_8h",
+    # ---- never sampled: scrub / corpus-quality wave ----
+    "pii_scrub",
+    "gopher_quality_filter",
+    "dup_ngram_windows",
+    "corpus_importance_resample",
+    "corpus_audit_report",
+    "corpus_domain_rebalance",
+    # ---- never sampled: crawl-discovery wave ----
+    "sitemap_extract",
+    "robots_sitemap_discovery",
+    "redirect_resolve",
+    "recrawl_backoff",
+    "pagerank_priority",
+    "host_circuit_breaker",
+    "url_canonicalize",
+    "frontier_seen_dedup",
+    "host_skew_stats",
+    # ---- never sampled: dedup/similarity quality wave ----
+    "semantic_dedup_drop",
+    "minhash_estimate_quality",
+    "word_rarity_score",
+    "embedding_quantize_int8",
+    "ann_recall_report",
+    "length_percentiles_by_source",
+    "length_percentiles_approx_by_source",
+    # ---- never sampled: interleaved-spans / lake / media ----
+    "spans_boilerplate_strip",
+    "spans_token_truncate",
+    "spans_caption_extract",
+    "docs_lake_roundtrip",
+    "media_resize",
+    "media_feature_extract",
+    "media_embedding_neardup",
+    # ---- oldest driver evidence (r01) ----
+    "range_join_error_follow",
+    "candles_recompute_1m",
+    # ---- r02-evidence fill: entry smoke + one row per broad family ----
+    "q1_pricing_summary",
+    "events_tumbling_window",
+    "spans_interleave_roundtrip",
+    "tfidf_top_terms",
+    "media_frame_sample",
+    "ann_lsh_topk",
+    "dedup_simhash",
 ]
 
 

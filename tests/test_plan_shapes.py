@@ -140,3 +140,24 @@ def test_route_ladder_single_generate_barrier(spark):
     # the session conf that keeps oversized codegen subtrees from running
     # interpreted-by-JIT-refusal must be applied by the query wrapper
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
+def test_word_rarity_skew_contract(spark):
+    """word_rarity_score skew contract (r03 verdict 'What's wrong #3'):
+    the word-key join is maximally skewed at corpus scale (stop words
+    touch ~every doc), and the engine's contract is AQE's skew-join split
+    — NOT a forced broadcast of the unbounded vocabulary side. Guard both
+    halves: the session must keep skew-join handling on, and the operator
+    source must not hint a broadcast; textstats keeps zero F.broadcast
+    hints like dedup/corpus."""
+    import pathlib
+
+    import crypto_msg_parser_spark.operators.textstats as textstats_mod
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    src = pathlib.Path(textstats_mod.__file__).read_text()
+    assert "F.broadcast(" not in src
+    plan = _plan(spark, "word_rarity_score")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
