@@ -41,23 +41,47 @@ def _fake_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, h.hex()[:16]
 
 
+def _real_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
+    """PIL-backed image decode: true dimensions, frame count (animated
+    formats expose n_frames), and a feature hash over the decoded pixel
+    bytes of frame 0 — content-addressed like the stand-in, but post-codec
+    so two encodings of the same pixels collide. Raises NotImplementedError
+    when Pillow is absent (this container) so the env-gate fails loudly
+    instead of silently falling back to the fake."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as ex:  # pragma: no cover — exercised sans PIL only
+        raise NotImplementedError(
+            "SPARK_GRAFT_REAL_DECODE=1 requires Pillow for image decode "
+            "(audio/video would add ffmpeg); the Spark-side plumbing is "
+            "identical to the deterministic stand-in"
+        ) from ex
+    with Image.open(BytesIO(payload)) as im:
+        width, height = im.size
+        n_frames = int(getattr(im, "n_frames", 1))
+        digest = hashlib.md5(im.convert("RGB").tobytes()).hexdigest()[:16]
+    return width, height, n_frames, digest
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """(media_ref string, media_type string, payload binary) ->
     + (width, height, n_frames, feature_hash). Arrow-batched; partition
     count is preserved so a repartition('media_type') upstream co-locates
-    same-codec batches (real decoders amortize codec init per batch)."""
+    same-codec batches (real decoders amortize codec init per batch).
+    SPARK_GRAFT_REAL_DECODE=1 switches to the PIL-backed codec (opt-in:
+    Pillow is not in the test container); the default deterministic fake
+    keeps every Spark-side aspect — schema, batch shape, partitioning —
+    identical and oracle-checkable."""
 
     real = os.environ.get("SPARK_GRAFT_REAL_DECODE") == "1"
+    decode = _real_decode if real else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real:
-            raise NotImplementedError(
-                "real decode requires PIL/ffmpeg, not present in this "
-                "container; the Spark-side plumbing is identical"
-            )
         for pdf in batches:
             meta = [
-                _fake_decode(r, p)
+                decode(r, p)
                 for r, p in zip(pdf["media_ref"], pdf["payload"])
             ]
             out = pdf.copy()
