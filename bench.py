@@ -147,7 +147,13 @@ def run(sf_dir: str, cores: int) -> dict:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     dfs: dict = {}
+    # External host contention is the dominant noise source (r03/r04
+    # adjudications: identical plan+data swings 1.3-10x when 1-min load
+    # exceeds ~half the core count). Record loadavg per pass so every
+    # bench artifact self-annotates its contention environment.
+    load_per_pass: list[str] = []
     for rep in range(3):
+        load_per_pass.append(open("/proc/loadavg").read().split()[0])
         for name in names:
             t0 = time.perf_counter()
             if rep == 0:
@@ -159,6 +165,7 @@ def run(sf_dir: str, cores: int) -> dict:
                 timings[name] = dt
             else:
                 timings[name] = min(timings[name], dt)
+    load_per_pass.append(open("/proc/loadavg").read().split()[0])
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_query_wall_seconds",
@@ -167,6 +174,7 @@ def run(sf_dir: str, cores: int) -> dict:
         "queries": timings,
         "queries_cold_first_run": cold,
         "runs_per_query": 3,
+        "loadavg_1m_at_pass_start": load_per_pass,
         "sf": sf_dir,
         "cores": cores,
     }
