@@ -111,6 +111,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "media_frame_sample",
     "dedup_simhash",
+    "proto_trade_roundtrip",
 ]
 
 

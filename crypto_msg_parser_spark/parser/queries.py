@@ -2206,3 +2206,46 @@ def market_analytics_full(spark, sf_dir):
         ((buy_q - sell_q) / (buy_q + sell_q)).alias("imbalance"),
     )
     return spread.join(ta, "symbol")
+
+
+@query(
+    "proto_trade_roundtrip",
+    oracle=f"""
+    SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+           {_SQL_SPOT_PAIR} AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END AS side,
+           CAST(CAST(round(l_extendedprice, 2) AS REAL) AS DOUBLE) AS price,
+           CAST(CAST(round(l_quantity, 1) AS REAL) AS DOUBLE)
+             AS quantity_base,
+           CAST(CAST(round(round(l_quantity, 1) * round(l_extendedprice, 2)
+                           * 1000000000) / 1000000000 AS REAL) AS DOUBLE)
+             AS quantity_quote,
+           CAST(NULL AS DOUBLE) AS quantity_contract
+    FROM lineitem
+    """,
+    doc="protobuf WIRE-FORMAT round trip as a correctness row: the real "
+    "parse pipeline's TradeMsg rows encoded to proto3 bytes and decoded "
+    "back (TradeMsg::to_proto/from_proto, crypto-message/src/lib.rs:"
+    "283-331) through the Arrow-batched mapInPandas codec stages. The "
+    "oracle reproduces the wire's float32 precision in closed form — "
+    "CAST(x AS REAL) is the same IEEE round-to-nearest-even conversion "
+    "as the codec's struct.pack('<f'), widened back to double — so the "
+    "value-hash gate covers varint/fixed32 encode+decode, proto3 "
+    "default-omission (side=buy, zero quantities), optional-field "
+    "presence (spot qc absent -> NULL), and ms->(s,ns)->ms timestamp "
+    "exactness. Scale shape: two narrow mapInPandas stages, no shuffle.",
+)
+def proto_trade_roundtrip(spark, sf_dir):
+    from crypto_msg_parser_spark.proto_sink import (
+        from_proto_trades,
+        to_proto_trades,
+    )
+
+    raw = _spot_trade_msgs(spark, sf_dir)
+    parsed = binance.parse_trade(raw)
+    back = from_proto_trades(to_proto_trades(parsed))
+    return back.select(
+        "symbol", "pair", "timestamp", "side", "price",
+        "quantity_base", "quantity_quote", "quantity_contract",
+    )

@@ -158,7 +158,10 @@ _PRIORITY = [
     "tfidf_top_terms",
     "media_frame_sample",
     "ann_lsh_topk",
-    "dedup_simhash",
+    # NEW this round: proto3 wire-format round trip (f32 closed-form
+    # oracle) — outranks a third r02 re-verify (dedup_simhash yields; its
+    # family keeps the minhash/LSH canary)
+    "proto_trade_roundtrip",
 ]
 
 
