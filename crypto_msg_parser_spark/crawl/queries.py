@@ -579,6 +579,103 @@ def crawl_stream_docs_replay(spark, sf_dir):
     )
 
 
+_SQL_E1_URL = _SQL_FRONTIER_URL.replace("p_partkey", "(p_partkey % 97)")
+_SQL_E2_URL = _SQL_FRONTIER_URL.replace("p_partkey", "(p_partkey % 149)")
+
+
+@query(
+    "frontier_stream_resume",
+    oracle=f"""
+    WITH e1 AS (SELECT DISTINCT {_SQL_E1_URL} AS canonical FROM part),
+    e2 AS (SELECT DISTINCT {_SQL_E2_URL} AS canonical FROM part)
+    SELECT canonical,
+           ('0x' || substr(md5(canonical), 1, 15))::BIGINT AS url_hash,
+           CAST(CASE WHEN canonical IN (SELECT canonical FROM e1)
+                THEN 1 ELSE 2 END AS INT) AS emitted_in_run
+    FROM (SELECT canonical FROM e1 UNION SELECT canonical FROM e2)
+    """,
+    doc="STREAMING checkpoint/RESTART, driver-checked (north_rule "
+    "'resumable from checkpoint' on the streaming path — the batch twin is "
+    "frontier_checkpoint_resume): epoch-1 URL files stream through the "
+    "keyed-state seen dedup into a PARQUET FILE SINK with a "
+    "checkpointLocation; the query terminates, epoch-2 files (every "
+    "epoch-1 URL again, plus never-seen ones) are appended to the source "
+    "dir, and a NEW streaming query restarts on the SAME checkpoint. The "
+    "restarted run must (a) skip the already-committed epoch-1 source "
+    "files via the offset log, (b) rehydrate the per-bucket seen-set from "
+    "the state store, so it emits ONLY the never-seen URLs — a cold state "
+    "store would re-emit all 97 epoch-1 canonicals and fail the row "
+    "count. Run tagging is in-plan: the file-sink commit log is read "
+    "BETWEEN runs (localCheckpoint pins run-1's committed set) and "
+    "left-joined after run 2. Oracle: epoch-1 distinct set tagged run 1, "
+    "epoch-2-minus-epoch-1 tagged run 2.",
+)
+def frontier_stream_resume(spark, sf_dir):
+    import tempfile
+
+    from crypto_msg_parser_spark.streaming.jobs import (
+        FRONTIER_URLS_DDL,
+        frontier_seen_stream,
+    )
+
+    def epoch_urls(mod):
+        k = F.col("p_partkey") % mod
+        p = load_table(spark, sf_dir, "part")
+        return p.select(
+            F.concat(
+                F.lit("https://"),
+                _host(k),
+                F.lit("/api/symbols?id="),
+                k.cast("string"),
+            ).alias("url"),
+            _host(k).alias("host"),
+            (k % 3).cast("int").alias("priority"),
+            F.lit(50).cast("int").alias("rate_budget_per_min"),
+        )
+
+    src = tempfile.mkdtemp(prefix="resume_src_")
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+    out = tempfile.mkdtemp(prefix="resume_out_")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(FRONTIER_URLS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            frontier_seen_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    epoch_urls(97).repartition(4).write.mode("append").parquet(src)
+    run_once()
+    # the file sink's _spark_metadata log makes this read exactly the
+    # run-1 committed set; eager localCheckpoint pins it before run 2
+    # appends more committed files under the same path
+    run1 = (
+        spark.read.parquet(out)
+        .select("canonical", F.lit(1).alias("in_run1"))
+        .localCheckpoint(eager=True)
+    )
+    epoch_urls(149).repartition(4).write.mode("append").parquet(src)
+    run_once()
+    both = spark.read.parquet(out).select("canonical", "url_hash")
+    return both.join(run1, "canonical", "left").select(
+        "canonical",
+        "url_hash",
+        F.coalesce(F.col("in_run1"), F.lit(2))
+        .cast("int")
+        .alias("emitted_in_run"),
+    )
+
+
 @query(
     "host_skew_stats",
     oracle=f"""

@@ -108,6 +108,9 @@ _PRIORITY = [
     "frontier_seen_batch_replay",
     # ---- NEW this round: the market-data composed flagship ----
     "market_analytics_full",
+    # ---- NEW this round: streaming checkpoint-RESTART row (the state
+    # store must rehydrate across two availableNow query instances) ----
+    "frontier_stream_resume",
     # ---- never driver-sampled (r01-r03): market analytics wave ----
     "l2_book_reconstruct",
     "l2_spread_stats",
@@ -157,7 +160,6 @@ _PRIORITY = [
     "spans_interleave_roundtrip",
     "tfidf_top_terms",
     "media_frame_sample",
-    "ann_lsh_topk",
     # NEW this round: proto3 wire-format round trip (f32 closed-form
     # oracle) — outranks a third r02 re-verify (dedup_simhash yields; its
     # family keeps the minhash/LSH canary)
