@@ -112,6 +112,15 @@ HEADLINE = [
     "media_frame_sample",
     "dedup_simhash",
     "proto_trade_roundtrip",
+    # r04 late additions, driver-sampled this round: repeated-field proto
+    # round trip + streaming OHLCV through the real parse plan
+    "proto_orderbook_roundtrip",
+    "stream_candles_1m",
+    # r04: the two stateful-streaming driver rows — each run restarts the
+    # availableNow job(s) from scratch (fresh checkpoint), so these time
+    # the full state-store lifecycle, not a warmed plan
+    "frontier_seen_batch_replay",
+    "frontier_stream_resume",
 ]
 
 

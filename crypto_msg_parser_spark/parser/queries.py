@@ -2249,3 +2249,245 @@ def proto_trade_roundtrip(spark, sf_dir):
         "symbol", "pair", "timestamp", "side", "price",
         "quantity_base", "quantity_quote", "quantity_contract",
     )
+
+
+@query(
+    "proto_orderbook_roundtrip",
+    oracle=f"""
+    WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0),
+    lv AS (
+      SELECT l_orderkey, l_partkey, l_extendedprice, l_quantity,
+             unnest([
+               struct_pack(side := 'ask', idx := 1,
+                           price := round(l_extendedprice + 1, 2),
+                           qty := round(l_quantity, 1)),
+               struct_pack(side := 'ask', idx := 2,
+                           price := round(l_extendedprice + 2, 2),
+                           qty := round(l_quantity + 1, 1)),
+               struct_pack(side := 'bid', idx := 1,
+                           price := round(l_extendedprice - 1, 2),
+                           qty := round(l_quantity, 1)),
+               struct_pack(side := 'bid', idx := 2,
+                           price := round(l_extendedprice - 2, 2),
+                           qty := round(l_quantity + 1, 1))
+             ]) AS o
+      FROM src)
+    SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+           {_SQL_SPOT_PAIR} AS pair,
+           {_BASE_TS} + l_orderkey AS timestamp,
+           FALSE AS snapshot,
+           o.side AS side, o.idx AS idx,
+           CAST(CAST(o.price AS REAL) AS DOUBLE) AS price,
+           CAST(CAST(o.qty AS REAL) AS DOUBLE) AS quantity_base,
+           CAST(CAST(round(o.qty * o.price * 1000000000) / 1000000000
+                     AS REAL) AS DOUBLE) AS quantity_quote,
+           CAST(NULL AS DOUBLE) AS quantity_contract
+    FROM lv
+    """,
+    doc="orderbook protobuf WIRE-FORMAT round trip as a correctness row — "
+    "the OrderBookMsg twin of proto_trade_roundtrip (OrderBookMsg::"
+    "to_proto/from_proto, crypto-message/src/lib.rs:385-469): the real "
+    "binance depth parse's OrderBookMsg rows encoded to proto3 bytes and "
+    "decoded back through the Arrow-batched mapInPandas codec stages, "
+    "then posexploded so the value-hash gate checks REPEATED-field "
+    "semantics the trade row cannot: per-level submessage framing, "
+    "level ORDER preservation within each side (idx from posexplode), "
+    "snapshot=false default-omission, spot quantity_contract absent -> "
+    "NULL, and per-level f32 precision (oracle wraps every level value "
+    "in CAST(x AS REAL) — IEEE round-to-nearest-even, identical to the "
+    "codec's struct.pack('<f')). Scale shape: two narrow mapInPandas "
+    "stages + Generate, no shuffle until the checking union.",
+)
+def proto_orderbook_roundtrip(spark, sf_dir):
+    from crypto_msg_parser_spark.proto_sink import (
+        from_proto_orderbooks,
+        to_proto_orderbooks,
+    )
+
+    raw = _l2_msgs(spark, sf_dir)
+    parsed = binance.parse_l2(raw)
+    back = from_proto_orderbooks(to_proto_orderbooks(parsed))
+    sides = [
+        back.select(
+            "symbol", "pair", "timestamp", "snapshot",
+            F.lit(name).alias("side"), F.posexplode(name + "s"),
+        )
+        for name in ("ask", "bid")
+    ]
+    both = sides[0].unionByName(sides[1])
+    return both.select(
+        "symbol", "pair", "timestamp", "snapshot", "side",
+        (F.col("pos") + 1).cast("int").alias("idx"),
+        F.col("col.price").alias("price"),
+        F.col("col.quantity_base").alias("quantity_base"),
+        F.col("col.quantity_quote").alias("quantity_quote"),
+        F.col("col.quantity_contract").alias("quantity_contract"),
+    )
+
+
+@query(
+    "stream_candles_1m",
+    oracle=f"""
+    WITH trades AS (
+        SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+               {_BASE_TS} + l_orderkey * 997 AS ts,
+               round(l_extendedprice, 2) AS price,
+               round(l_quantity, 1) AS qty,
+               (l_orderkey * 10 + l_linenumber) * 1000000000.0
+                 + round(l_extendedprice, 2) * 100 AS seq
+        FROM lineitem
+    )
+    SELECT symbol,
+           ts - ts % 60000 AS window_start,
+           min(price) AS low,
+           max(price) AS high,
+           round(sum(qty) * 1000000000) / 1000000000 AS volume,
+           round(sum(price * qty) * 1000000000) / 1000000000 AS quote_volume,
+           arg_min(price, seq) AS open,
+           arg_max(price, seq) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM trades
+    GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="STREAMING OHLCV candles fed by the REAL parse pipeline: raw "
+    "binance aggTrade wire messages arrive as a 3-micro-batch file "
+    "stream, flow through the full parse_trade plan (from_json + "
+    "broadcast pair/contract dicts + quantity math — stream-static "
+    "joins, zero per-row Python), then a 1-minute event-time tumbling "
+    "window with a 1h watermark aggregates OHLCV in append mode under "
+    "Trigger.availableNow. Append mode only emits a window once the "
+    "watermark passes its end, so the last micro-batch is a single "
+    "sentinel-symbol FLUSHER trade 2h past the global max event time "
+    "(built in-plan from the same table — no collect); it advances the "
+    "watermark past every real window while its OWN window is never "
+    "emitted (the watermark stops 1h short of it, so it dies in state "
+    "when availableNow terminates). The sentinel must NOT be filtered "
+    "between withWatermark and the aggregation: Catalyst pushes that "
+    "deterministic filter below the EventTimeWatermark node, removing "
+    "the row before it can advance the watermark — measured as "
+    "eventTime.max=None in the sentinel micro-batch and 61 unflushed "
+    "trailing windows per symbol. The oracle is the closed-form batch "
+    "recompute "
+    "(candles_recompute_1m's shape): a correct run emits EXACTLY the "
+    "batch result — an unflushed (stuck-watermark) or dropped-late run "
+    "fails the row count. open/close via arg_min/arg_max on a seq key "
+    "that totals-orders trades within a minute in both engines; volume "
+    "sums rounded at 1e-9 so streaming partial-agg order cannot drift "
+    "the hash.",
+)
+def stream_candles_1m(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey") * 997
+
+    def wire(df, sym, t):
+        msg = F.format_string(
+            '{"stream":"%s@aggTrade","data":{"e":"aggTrade","E":%d,"s":"%s",'
+            '"a":%d,"p":"%.2f","q":"%.1f","f":1,"l":2,"T":%d,"m":%s}}',
+            F.lower(sym),
+            t,
+            sym,
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+            F.col("l_extendedprice"),
+            F.col("l_quantity"),
+            t - 2,
+            F.when(F.col("l_linenumber") % 2 == 0, "true").otherwise("false"),
+        )
+        return df.select(
+            F.lit("spot").alias("market_type"),
+            msg.alias("msg"),
+            F.lit(None).cast("long").alias("received_at"),
+        )
+
+    b1 = wire(li.filter(F.col("l_orderkey") % 2 == 1), _spot_symbol(), ts)
+    b2 = wire(li.filter(F.col("l_orderkey") % 2 == 0), _spot_symbol(), ts)
+    # flusher: ONE far-future sentinel trade, built in-plan from the same
+    # table's max ts (agg -> 1 row; no driver-side collect)
+    flush = wire(
+        li.agg(
+            F.max(F.col("l_orderkey")).alias("l_orderkey"),
+            F.lit(1).alias("l_linenumber"),
+            F.lit(1.0).alias("l_extendedprice"),
+            F.lit(1.0).alias("l_quantity"),
+        ),
+        F.lit("ZZZUSDT"),
+        ts + 7200000,
+    )
+
+    src = tempfile.mkdtemp(prefix="candle_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="candle_stream_ckpt_")
+    name = f"stream_candles_{uuid.uuid4().hex[:12]}"
+    try:
+        for i, part in enumerate((b1, b2, flush)):
+            d = tempfile.mkdtemp(prefix="candle_stream_part_")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "market_type string, msg string, received_at long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        parsed = binance.parse_trade(stream)
+        tid = F.col("trade_id").cast("long")
+        evt = parsed.select(
+            "symbol",
+            "price",
+            F.col("quantity_base").alias("qty"),
+            (tid * 1000000000.0 + F.col("price") * 100).alias("seq"),
+            F.timestamp_millis(F.col("timestamp")).alias("evt"),
+        )
+        # NO symbol filter here: a deterministic filter between
+        # withWatermark and groupBy is pushed below the
+        # EventTimeWatermark node by Catalyst, deleting the sentinel
+        # before it can advance the watermark (last hour of windows
+        # then never flushes). The sentinel window self-excludes: the
+        # watermark ends 1h short of it, so append mode never emits it.
+        agg = (
+            evt.withWatermark("evt", "1 hour")
+            .groupBy(F.window("evt", "1 minute").alias("w"), F.col("symbol"))
+            .agg(
+                F.min("price").alias("low"),
+                F.max("price").alias("high"),
+                (F.round(F.sum("qty") * 1e9) / 1e9).alias("volume"),
+                (F.round(F.sum(F.col("price") * F.col("qty")) * 1e9) / 1e9)
+                .alias("quote_volume"),
+                F.min_by("price", F.col("seq")).alias("open"),
+                F.max_by("price", F.col("seq")).alias("close"),
+                F.count(F.lit(1)).alias("n_trades"),
+            )
+            .select(
+                "symbol",
+                (F.unix_millis(F.col("w.start"))).alias("window_start"),
+                "low", "high", "volume", "quote_volume",
+                "open", "close", "n_trades",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # explicit timeout check: awaitTermination(t) returns False on
+        # timeout WITHOUT stopping the query — reading the memory sink
+        # then would silently return a partial (unflushed) result
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_candles_1m did not drain in 600s")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).localCheckpoint(eager=True)

@@ -156,14 +156,20 @@ _PRIORITY = [
     "candles_recompute_1m",
     # ---- r02-evidence fill: entry smoke + one row per broad family ----
     "q1_pricing_summary",
-    "events_tumbling_window",
     "spans_interleave_roundtrip",
     "tfidf_top_terms",
-    "media_frame_sample",
-    # NEW this round: proto3 wire-format round trip (f32 closed-form
-    # oracle) — outranks a third r02 re-verify (dedup_simhash yields; its
-    # family keeps the minhash/LSH canary)
+    # NEW this round: proto3 wire-format round trips (f32 closed-form
+    # oracles, trade + repeated-field orderbook) — outrank two more r02
+    # re-verifies (events_tumbling_window yields to stream_candles_1m,
+    # the strictly stronger streaming-window row: real parse pipeline +
+    # watermark-flush semantics; media_frame_sample yields, its family
+    # keeps resize/features/neardup above)
     "proto_trade_roundtrip",
+    "proto_orderbook_roundtrip",
+    # NEW this round: streaming OHLCV candles through the real parse
+    # plan — availableNow + append-mode flush checked against the
+    # closed-form batch recompute
+    "stream_candles_1m",
 ]
 
 

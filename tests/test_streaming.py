@@ -345,3 +345,66 @@ def test_crawl_stream_resumes_from_checkpoint(spark, tmp_path):
     docs = spark.read.parquet(out)
     assert docs.count() == 3  # /a suppressed by RESTORED state
     assert docs.select("doc_id").distinct().count() == 3
+
+
+def test_watermark_flusher_must_not_be_filtered_pre_agg(spark, tmp_path):
+    """Pins the Catalyst trap stream_candles_1m works around: a
+    deterministic Filter placed between withWatermark and a windowed
+    aggregation is pushed BELOW the EventTimeWatermark node, so a
+    sentinel "flusher" row meant to advance the watermark is deleted
+    before the watermark node ever sees it (its micro-batch reports
+    eventTime.max=None) and append mode never emits the trailing
+    windows. The safe shape leaves the sentinel unfiltered — its own
+    window sits past the final watermark and is never emitted, so it
+    self-excludes. If a future Spark stops pushing filters through
+    EventTimeWatermark, the `filtered` arm below starts emitting and
+    this test flags the workaround as obsolete."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    t0 = 1_600_000_000_000  # ms
+
+    def write_batch(subdir, rows, mtime):
+        d = tmp_path / "tmpw"
+        spark.createDataFrame(rows, "k string, ts long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dest = tmp_path / "src" / subdir
+        os.makedirs(tmp_path / "src", exist_ok=True)
+        shutil.move(pf, str(dest))
+        os.utime(dest, (mtime, mtime))
+
+    # batch 0: two real events 10 min apart; batch 1: sentinel 3h later
+    write_batch("0.parquet", [("a", t0), ("a", t0 + 600_000)], 1_700_000_000)
+    write_batch("1.parquet", [("zzz", t0 + 10_800_000)], 1_700_000_010)
+
+    def run(filter_sentinel: bool) -> int:
+        src = (
+            spark.readStream.schema("k string, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+        evt = src.select("k", F.timestamp_millis(F.col("ts")).alias("evt"))
+        wm = evt.withWatermark("evt", "1 hour")
+        if filter_sentinel:
+            wm = wm.filter(F.col("k") != "zzz")  # the trap
+        agg = wm.groupBy(F.window("evt", "1 minute"), F.col("k")).count()
+        name = f"wmtrap_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.table(name).count()
+
+    # safe shape: both real windows flushed, sentinel window withheld
+    assert run(filter_sentinel=False) == 2
+    # trap shape: sentinel dies below the watermark node -> nothing flushes
+    assert run(filter_sentinel=True) == 0
