@@ -116,6 +116,8 @@ HEADLINE = [
     # round trip + streaming OHLCV through the real parse plan
     "proto_orderbook_roundtrip",
     "stream_candles_1m",
+    # r04: composed crawl-scheduling flagship, driver-sampled this round
+    "crawl_schedule_full",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

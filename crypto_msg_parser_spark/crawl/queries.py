@@ -1264,3 +1264,151 @@ def host_circuit_breaker(spark, sf_dir):
             "circuit_open"
         ),
     )
+
+
+# ------------------------------------------ composed crawl flagship
+#
+# The batch twin of crawl_stream_docs_replay and the crawl-tier sibling of
+# web_corpus_prep_full / market_analytics_full: every steady-state frontier
+# stage composed into ONE declarative plan, because stage COUPLING is what
+# the per-stage rows cannot catch (a column one stage drops, a filter that
+# migrates across another stage's window, a budget clamp applied before
+# instead of after ranking).
+
+_SFF_N = "(SELECT count(*) FROM part)"
+_SFF_ITERS = 3
+
+
+def _sql_schedule_full_oracle() -> str:
+    ctes = [
+        # link graph: chain edge (bijective, every node has an in-edge)
+        # + a second edge for 3/4 of nodes -> in-degree 1..2 and MIXED
+        # out-degrees, so the damped integer ranks split into four
+        # distinct values (structural: same four at every sf) instead of
+        # the uniform fixpoint of pagerank_priority's regular graph
+        f"e AS (SELECT p_partkey AS src, (p_partkey + 1) % {_SFF_N} AS dst, "
+        f"CASE WHEN p_partkey % 4 = 0 THEN 1 ELSE 2 END AS outdeg FROM part "
+        f"UNION ALL SELECT p_partkey, (p_partkey * 7 + 3) % {_SFF_N}, 2 "
+        f"FROM part WHERE p_partkey % 4 <> 0)",
+        "r0 AS (SELECT p_partkey AS node, 1000000 AS r FROM part)",
+    ]
+    for i in range(_SFF_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"150000 + (17 * sum(p.r // e.outdeg)) // 20 AS r "
+            f"FROM e JOIN r{i} p ON p.node = e.src GROUP BY e.dst)"
+        )
+    ctes += [
+        f"f AS (SELECT {_SQL_FRONTIER_URL} AS url, {_SQL_HOST} AS host, "
+        f"p_partkey FROM part)",
+        f"c AS (SELECT {sql_canonical_url('url')} AS canonical, host, "
+        f"p_partkey FROM f)",
+        "h AS (SELECT canonical, host, p_partkey, "
+        + _SQL_HASH.format(expr="canonical")
+        + " AS url_hash FROM c)",
+        "seen AS (SELECT canonical FROM h WHERE p_partkey % 3 = 0)",
+        # robots closed form: huobi fully disallowed; binance kept by the
+        # longest-match Allow over its wildcard Disallow; okx budget 30
+        "new AS (SELECT * FROM h WHERE NOT EXISTS "
+        "(SELECT 1 FROM seen s WHERE s.canonical = h.canonical) "
+        "AND host <> 'api.huobi.pro')",
+        f"pri AS (SELECT new.*, CAST(r.r AS BIGINT) AS rank_micro, "
+        f"CASE WHEN r.r >= 1300000 THEN 0 WHEN r.r >= 700000 THEN 1 "
+        f"ELSE 2 END AS priority "
+        f"FROM new JOIN r{_SFF_ITERS} r ON r.node = new.p_partkey)",
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY host "
+        "ORDER BY priority, url_hash, canonical) AS in_host_rank FROM pri)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT host, canonical, url_hash, rank_micro, "
+        "CAST(priority AS INT) AS priority, "
+        "CAST(in_host_rank AS INT) AS in_host_rank, "
+        "CAST((in_host_rank - 1) // "
+        "(CASE host WHEN 'www.okx.com' THEN 30 ELSE 50 END) AS BIGINT) "
+        "AS epoch FROM rk"
+    )
+
+
+@query(
+    "crawl_schedule_full",
+    oracle=_sql_schedule_full_oracle(),
+    doc="COMPOSED batch crawl-scheduling flagship, ONE declarative plan: "
+    "canonicalize -> seen-set anti-join -> RFC 9309 robots gate (real "
+    "state-machine parse of the synthesized bodies; the binance "
+    "wildcard-Disallow/longer-Allow trap must resolve ALLOW inside the "
+    "composition) -> integer-PageRank priority tiers (Cho/Garcia-Molina "
+    "crawl-ordering baseline; micro-rank units so partial-agg order "
+    "cannot drift the hash; the graph mixes out-degrees 1 and 2 so the "
+    "ranks split into four structural values -> tiers 0/1/2 by fixed "
+    "thresholds) -> two-level politeness ranking + epoch budgeting with "
+    "the robots-CLAMPED budget (okx crawl-delay 2 -> 30/min; a plan that "
+    "ranks before clamping, or clamps before the robots filter, fails "
+    "the epoch column). Scale shape: 3 equi-join+partial-agg rank "
+    "iterations over the edge table; one anti-join on the bucketed "
+    "url_hash key; robots rules join on host (AQE side-pick, unbounded-"
+    "safe); the priority join keys on the frontier id — in a real "
+    "deployment the rank table is materialized frontier state bucketed "
+    "by the SAME key, making it exchange-free; scheduler window is "
+    "per (host, priority, rank_bucket) with broadcast cumulative "
+    "offsets (bounded-hosts contract, scheduler.py:115-122). The oracle "
+    "is the full closed-form recomputation of every stage in DuckDB.",
+)
+def crawl_schedule_full(spark, sf_dir):
+    from crypto_msg_parser_spark.crawl.frontier import dedup_against_seen
+    from crypto_msg_parser_spark.crawl.robots import (
+        ROBOTS_FETCH_SCHEMA,
+        apply_robots,
+        parse_robots,
+    )
+    from crypto_msg_parser_spark.crawl.scheduler import prepare_frontier, schedule
+
+    p = load_table(spark, sf_dir, "part")
+    n = p.count()  # plan literal, same convention as pagerank_priority
+    k = F.col("p_partkey")
+    chain = p.select(
+        k.alias("src"),
+        ((k + 1) % n).alias("dst"),
+        F.when(k % 4 == 0, 1).otherwise(2).alias("outdeg"),
+    )
+    extra = p.filter(k % 4 != 0).select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst"), F.lit(2).alias("outdeg")
+    )
+    edges = chain.unionAll(extra)
+    rank = p.select(k.alias("node"), F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(_SFF_ITERS):
+        rank = (
+            edges.join(rank, edges["src"] == rank["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV outdeg")).alias("m"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST(150000 + (17 * m) DIV 20 AS LONG)").alias("r"),
+            )
+        )
+    prio = rank.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.when(F.col("r") >= 1_300_000, 0)
+        .when(F.col("r") >= 700_000, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("priority"),
+    )
+
+    f = prepare_frontier(_frontier_df(spark, sf_dir).drop("priority"))
+    seen = f.filter(k % 3 == 0).select("rank_bucket", "url_hash", "canonical")
+    new = dedup_against_seen(f, seen)
+    fetched = spark.createDataFrame(_ROBOTS_BODIES, ROBOTS_FETCH_SCHEMA)
+    gated = apply_robots(new, parse_robots(fetched))
+    ready = gated.join(prio, gated["p_partkey"] == prio["node"]).drop("node")
+    sched = schedule(ready)
+    return sched.select(
+        "host",
+        "canonical",
+        "url_hash",
+        "rank_micro",
+        "priority",
+        "in_host_rank",
+        "epoch",
+    )

@@ -133,7 +133,12 @@ _PRIORITY = [
     "pagerank_priority",
     "host_circuit_breaker",
     "url_canonicalize",
-    "frontier_seen_dedup",
+    # NEW this round: the composed crawl-scheduling flagship (stage
+    # coupling: canonicalize -> seen anti-join -> robots gate -> rank
+    # tiers -> clamped politeness epochs, one plan). frontier_seen_dedup
+    # yields its slot — its anti-join is a verbatim stage of this plan
+    # and of the frontier_seen_batch_replay canary above
+    "crawl_schedule_full",
     "host_skew_stats",
     # ---- never sampled: dedup/similarity quality wave ----
     "semantic_dedup_drop",
