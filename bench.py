@@ -118,6 +118,8 @@ HEADLINE = [
     "stream_candles_1m",
     # r04: composed crawl-scheduling flagship, driver-sampled this round
     "crawl_schedule_full",
+    # r04: link-discovery handoff (crawl x interleaved bridge)
+    "outlink_frontier_handoff",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

@@ -1412,3 +1412,175 @@ def crawl_schedule_full(spark, sf_dir):
         "in_host_rank",
         "epoch",
     )
+
+
+# ------------------------------------------ link discovery handoff
+#
+# The crawl x interleaved bridge: fetched documents are the SOURCE of new
+# frontier URLs. Anchor extraction happens in-row (codegen regex over the
+# synthesized HTML-ish body), resolution + canonicalization in a
+# projection, and only then does data shuffle — once for the seen-set
+# anti-join, once for the host-graph edge aggregate.
+
+_OLH_HOSTS = (
+    "news.example.org",
+    "blog.example.net",
+    "wiki.example.com",
+    "shop.example.io",
+)
+_SQL_OLH_N = "(SELECT count(*) FROM documents)"
+
+
+def _olh_sql_host(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} % 4 = {i} THEN '{h}'" for i, h in enumerate(_OLH_HOSTS)
+    )
+    return f"CASE {cases} END"
+
+
+def _olh_host(col):
+    k = col % 4
+    out = F.when(k == 0, _OLH_HOSTS[0])
+    for i, h in enumerate(_OLH_HOSTS[1:], start=1):
+        out = out.when(k == i, h)
+    return out
+
+
+@query(
+    "outlink_frontier_handoff",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_olh_sql_host('doc_id')} AS src_host,
+             text
+             || '<a href="HTTPS://News.Example.ORG:443/article?id='
+             || CAST(doc_id * 3 % {_SQL_OLH_N} AS VARCHAR) || '#top">a</a>'
+             || '<a href="/doc/'
+             || CAST((doc_id + 7) % {_SQL_OLH_N} AS VARCHAR) || '">b</a>'
+             || '<a href="https://' || {_olh_sql_host('(doc_id + 1)')}
+             || '/doc/' || CAST((doc_id * 5 + 1) % {_SQL_OLH_N} AS VARCHAR)
+             || '">c</a>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<a href="mailto:ops@example.com">m</a>'
+                     ELSE '' END AS body
+      FROM documents),
+    hrefs AS (
+      SELECT doc_id, src_host,
+             unnest(regexp_extract_all(body, 'href="([^"]+)"', 1)) AS href
+      FROM d),
+    res AS (
+      SELECT doc_id, src_host,
+             CASE WHEN href LIKE 'http%' THEN href
+                  WHEN href LIKE '/%' THEN 'https://' || src_host || href
+                  ELSE NULL END AS absolute
+      FROM hrefs),
+    c AS (
+      SELECT doc_id, src_host,
+             {sql_canonical_url('absolute')} AS target,
+             {sql_url_host(sql_canonical_url('absolute'))} AS dst_host
+      FROM res WHERE absolute IS NOT NULL),
+    h AS (
+      SELECT *, {_SQL_HASH.format(expr='target')} AS url_hash FROM c),
+    seen AS (
+      SELECT DISTINCT 'https://' || {_olh_sql_host('doc_id')} || '/doc/'
+             || CAST(doc_id AS VARCHAR) AS target
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT src_host, dst_host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT target) AS BIGINT) AS n_unique_targets,
+           CAST(count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM seen s WHERE s.target = h.target))
+             AS BIGINT) AS n_new
+    FROM h
+    GROUP BY src_host, dst_host
+    """,
+    doc="link-discovery handoff, the crawl x interleaved bridge: fetched "
+    "document bodies (HTML-ish anchors synthesized in-plan in BOTH "
+    "engines: one messy absolute link with case/default-port/fragment "
+    "noise, one RELATIVE link resolved against the doc's own host, one "
+    "cross-host link, and a mailto: decoy the resolver must drop) -> "
+    "in-row regexp_extract_all anchor extraction (codegen; the body "
+    "never leaves its row unexploded) -> Generate over the href array -> "
+    "relative-URL resolution + real canonicalizer + stable_hash64 in a "
+    "projection -> left_anti join against the seen set (already-crawled "
+    "doc pages) -> per (src_host, dst_host) edge aggregate: link count, "
+    "distinct targets, and how many land NEW in the frontier. This is "
+    "how a crawl actually grows: discovered links are the frontier's "
+    "input stream, and the host-graph edge weights feed "
+    "pagerank_priority. Scale shape: extraction and resolution are "
+    "per-row projections; the explode multiplies rows by <=4 links "
+    "before any exchange; the only shuffles are the hash-keyed anti-join "
+    "and the final partial-agg groupBy. The distinct-count is a "
+    "two-phase partial aggregate (no per-group buffering of targets "
+    "beyond the group's distinct set).",
+)
+def outlink_frontier_handoff(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # plan literal, same convention as pagerank_priority
+    did = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.lit('<a href="HTTPS://News.Example.ORG:443/article?id='),
+        (did * 3 % n).cast("string"),
+        F.lit('#top">a</a>'),
+        F.lit('<a href="/doc/'),
+        ((did + 7) % n).cast("string"),
+        F.lit('">b</a>'),
+        F.lit('<a href="https://'),
+        _olh_host(did + 1),
+        F.lit("/doc/"),
+        ((did * 5 + 1) % n).cast("string"),
+        F.lit('">c</a>'),
+        F.when(did % 5 == 0, '<a href="mailto:ops@example.com">m</a>').otherwise(""),
+    )
+    d = docs.select(did.alias("doc_id"), _olh_host(did).alias("src_host"), body.alias("body"))
+    hrefs = d.select(
+        "doc_id",
+        "src_host",
+        F.explode(
+            F.regexp_extract_all(F.col("body"), F.lit('href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    absolute = (
+        F.when(F.col("href").startswith("http"), F.col("href"))
+        .when(
+            F.col("href").startswith("/"),
+            F.concat(F.lit("https://"), F.col("src_host"), F.col("href")),
+        )
+        .otherwise(F.lit(None))
+    )
+    resolved = hrefs.select("doc_id", "src_host", absolute.alias("absolute")).filter(
+        F.col("absolute").isNotNull()
+    )
+    c = resolved.select(
+        "src_host",
+        canonical_url(F.col("absolute")).alias("target"),
+    ).select(
+        "src_host",
+        "target",
+        url_host(F.col("target")).alias("dst_host"),
+        stable_hash64(F.col("target")).alias("url_hash"),
+    )
+    seen = (
+        docs.filter(did % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("https://"), _olh_host(did), F.lit("/doc/"), did.cast("string")
+            ).alias("target")
+        )
+        .distinct()
+        .select("target", stable_hash64(F.col("target")).alias("url_hash"))
+    )
+    new = c.join(seen, ["url_hash", "target"], "left_anti").groupBy(
+        "src_host", "dst_host"
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    edges = c.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("target").alias("n_unique_targets"),
+    )
+    return edges.join(new, ["src_host", "dst_host"], "left").select(
+        "src_host",
+        "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_unique_targets").cast("long").alias("n_unique_targets"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )

@@ -139,7 +139,11 @@ _PRIORITY = [
     # yields its slot — its anti-join is a verbatim stage of this plan
     # and of the frontier_seen_batch_replay canary above
     "crawl_schedule_full",
-    "host_skew_stats",
+    # NEW this round: the crawl x interleaved link-discovery bridge
+    # (anchor extract -> resolve -> canonicalize -> seen anti-join ->
+    # host-graph edges). host_skew_stats yields — it carries r01/r02
+    # driver evidence; this row has none
+    "outlink_frontier_handoff",
     # ---- never sampled: dedup/similarity quality wave ----
     "semantic_dedup_drop",
     "minhash_estimate_quality",
