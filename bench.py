@@ -120,6 +120,8 @@ HEADLINE = [
     "crawl_schedule_full",
     # r04: link-discovery handoff (crawl x interleaved bridge)
     "outlink_frontier_handoff",
+    # r04: multi-epoch BFS frontier growth loop
+    "crawl_bfs_expansion",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

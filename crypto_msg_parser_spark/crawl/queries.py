@@ -1584,3 +1584,108 @@ def outlink_frontier_handoff(spark, sf_dir):
         F.col("n_unique_targets").cast("long").alias("n_unique_targets"),
         F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
     )
+
+
+# ------------------------------------------ multi-epoch BFS expansion
+#
+# The frontier's GROWTH dynamics: discovered links feed the next wave.
+# frontier_checkpoint_resume tests two fixed epochs around a snapshot;
+# this row tests the wave recursion itself — new_i = links(new_{i-1})
+# MINUS everything ever seen — which is where a wrong seen-set update
+# (dedup against the previous WAVE instead of the accumulated set)
+# silently double-crawls.
+
+_BFS_EPOCHS = 3
+_BFS_SEED_MOD = 50
+
+
+def _sql_bfs_oracle() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    # link pair chosen so waves FOLD BACK onto older seen nodes (checked:
+    # the 2k+1 expander alone never revisits; k//3 contracts toward the
+    # seed range, producing revisits at epochs 2 and 3 at every sf) —
+    # otherwise the oracle could not discriminate the
+    # dedup-against-previous-wave-only bug this row exists to catch
+    link = "SELECT (2 * w.node + 1) % {n} AS node FROM w{i} w " \
+           "UNION SELECT (w.node // 3) % {n} FROM w{i} w"
+    ctes = [
+        f"w0 AS (SELECT doc_id AS node FROM documents "
+        f"WHERE doc_id % {_BFS_SEED_MOD} = 0)",
+        "s0 AS (SELECT node FROM w0)",
+    ]
+    for i in range(_BFS_EPOCHS):
+        ctes.append(
+            f"w{i + 1} AS (SELECT node FROM ({link.format(n=n, i=i)}) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM s{i} s WHERE s.node = t.node))"
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT node FROM s{i} "
+            f"UNION ALL SELECT node FROM w{i + 1})"
+        )
+    waves = " UNION ALL ".join(
+        f"SELECT {i} AS epoch, CAST(count(*) AS BIGINT) AS n_new, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS n_seen_total "
+        f"FROM w{i}"
+        for i in range(_BFS_EPOCHS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + waves
+
+
+@query(
+    "crawl_bfs_expansion",
+    oracle=_sql_bfs_oracle(),
+    doc="multi-epoch BFS frontier expansion (the north rule's growth "
+    "loop): seed docs -> deterministic link pair (an expanding edge "
+    "2k+1 and a CONTRACTING edge k//3 that folds later waves back onto "
+    "already-seen nodes — the collect-free stand-in for "
+    "outlink_frontier_handoff's extracted anchors) -> per epoch, the "
+    "new wave = distinct link targets of the PREVIOUS wave anti-joined "
+    "against the ACCUMULATED seen set, which then absorbs the wave. "
+    "Output is (epoch, n_new, n_seen_total) per wave — a plan that "
+    "dedups against the previous wave instead of the accumulated set, "
+    "or unions before deduping, fails n_new from epoch 2 on. Scale "
+    "shape: each epoch is one distinct + one hash anti-join on the url "
+    "key — the same bucketed layout the seen set stores in; the wave "
+    "frames are localCheckpoint barriers (eager, wave-sized i.e. tiny "
+    "relative to the corpus) so the unrolled lineage cannot re-derive "
+    "earlier epochs, mirroring dedup's connected-components loop. At "
+    "10^10 URLs the accumulated set lives bucketed on disk and each "
+    "epoch's anti-join is partition-local (dedup_against_seen).",
+)
+def crawl_bfs_expansion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # plan literal, same convention as pagerank_priority
+    seeds = (
+        docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
+        .select(F.col("doc_id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    waves = [seeds]
+    seen = seeds
+    for _ in range(_BFS_EPOCHS):
+        prev = waves[-1]
+        targets = (
+            prev.select(((2 * F.col("node") + 1) % n).alias("node"))
+            .unionByName(
+                prev.select((F.expr("node DIV 3") % n).alias("node"))
+            )
+            .distinct()
+        )
+        new = targets.join(seen, "node", "left_anti").localCheckpoint(eager=True)
+        waves.append(new)
+        seen = seen.unionByName(new).localCheckpoint(eager=True)
+    out = None
+    for i, w in enumerate(waves):
+        row = w.agg(F.count(F.lit(1)).cast("long").alias("n_new")).select(
+            F.lit(i).cast("int").alias("epoch"), "n_new"
+        )
+        out = row if out is None else out.unionByName(row)
+    # waves are pairwise disjoint by construction (each is anti-joined
+    # against the accumulated set), so the cumulative seen total is a
+    # running sum over the per-epoch counts — a 4-row window, not a join
+    from pyspark.sql import Window as _W
+
+    w_cum = _W.orderBy("epoch").rowsBetween(_W.unboundedPreceding, 0)
+    return out.select(
+        "epoch", "n_new", F.sum("n_new").over(w_cum).cast("long").alias("n_seen_total")
+    )

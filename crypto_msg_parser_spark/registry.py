@@ -160,8 +160,12 @@ _PRIORITY = [
     "media_resize",
     "media_feature_extract",
     "media_embedding_neardup",
+    # NEW this round: multi-epoch BFS frontier expansion (the growth
+    # loop: wave = links(prev wave) ANTI accumulated seen).
+    # range_join_error_follow yields — it keeps r01 driver evidence and
+    # oracle(local) coverage; this row has none
+    "crawl_bfs_expansion",
     # ---- oldest driver evidence (r01) ----
-    "range_join_error_follow",
     "candles_recompute_1m",
     # ---- r02-evidence fill: entry smoke + one row per broad family ----
     "q1_pricing_summary",

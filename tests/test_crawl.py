@@ -758,3 +758,50 @@ def test_sitemap_extract_differential_fuzz(spark):
         if want != have:
             bad += 1
     assert bad == 0, f"{bad} of {len(got)} bodies disagree with the re reference"
+
+
+def test_bfs_expansion_requires_accumulated_seen_set(spark):
+    """Negative arm for crawl_bfs_expansion: the classic frontier bug —
+    deduping each wave against only the PREVIOUS wave instead of the
+    accumulated seen set — must produce LARGER waves from epoch 2 on
+    (re-admitting already-crawled nodes), so the oracle row genuinely
+    discriminates it. If a graph change makes the two variants agree,
+    the row has lost its reason to exist and this test flags it."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.registry import all_queries
+    from crypto_msg_parser_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+
+    def links(prev):
+        return (
+            prev.select(((2 * F.col("node") + 1) % n).alias("node"))
+            .unionByName(prev.select((F.expr("node DIV 3") % n).alias("node")))
+            .distinct()
+        )
+
+    seeds = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    correct_wave, broken_wave, seen = seeds, seeds, seeds
+    diverged = False
+    for _ in range(3):
+        t_c = links(correct_wave)
+        correct_wave = t_c.join(seen, "node", "left_anti").localCheckpoint(True)
+        seen = seen.unionByName(correct_wave).localCheckpoint(True)
+        t_b = links(broken_wave)
+        broken_wave = t_b.join(broken_wave, "node", "left_anti").localCheckpoint(True)
+        n_c, n_b = correct_wave.count(), broken_wave.count()
+        if n_b > n_c:
+            diverged = True
+    assert diverged, "broken dedup never re-admitted a seen node"
+
+    # and the registered row agrees with the correct variant's first wave
+    q = all_queries()["crawl_bfs_expansion"]
+    rows = {r["epoch"]: r["n_new"] for r in q.spark_fn(spark, sf).collect()}
+    assert rows[0] == seeds.count()
