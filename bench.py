@@ -122,6 +122,9 @@ HEADLINE = [
     "outlink_frontier_handoff",
     # r04: multi-epoch BFS frontier growth loop
     "crawl_bfs_expansion",
+    # r04: streaming L2 book maintenance (keyed state, LWW(seq) merge
+    # across interleaved micro-batches; fresh checkpoint per run)
+    "stream_book_reconstruct",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

@@ -2491,3 +2491,270 @@ def stream_candles_1m(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+# ------------------------------------- streaming L2 book maintenance
+#
+# The stateful consumer loop every reference user runs LIVE (apply each
+# depth delta to a held book; crypto-crawler's order-book mode), as a
+# Structured Streaming job: l2_book_reconstruct is the batch/replay twin
+# (order-insensitive LWW aggregation); this is the incremental twin whose
+# book SURVIVES across micro-batches in keyed state. Prices live on a
+# bounded 200-slot-per-side grid so cross-batch updates to the SAME level
+# are guaranteed at every SF, and the three micro-batches INTERLEAVE
+# seq_ids (batch = (orderkey DIV 7) % 3, not a seq-range split): a state
+# update that overwrites a level in arrival order instead of merging by
+# LWW(seq) is wrong from epoch 1 on (tested negative arm in
+# tests/test_streaming.py).
+
+_BOOK_EPOCHS = 3
+
+
+def _sql_stream_book_oracle() -> str:
+    src = (
+        f"src AS (SELECT {_SQL_SPOT_SYMBOL} AS symbol, "
+        "l_orderkey*100 + l_linenumber AS seq, "
+        "(l_orderkey // 7) % 3 AS batch_id, "
+        "CAST(l_quantity AS DOUBLE) AS q "
+        "FROM lineitem WHERE l_orderkey % 7 = 0)"
+    )
+    # the four grid levels per message; qty 0 when seq % 10 = 3 (delete)
+    lv_arms = []
+    for side, slot, base, dq in (
+        ("bid", "((seq*7)%100)*2", 100, "q"),
+        ("bid", "((seq*11)%100)*2+1", 100, "q+1"),
+        ("ask", "((seq*13)%100)*2", 300, "q"),
+        ("ask", "((seq*17)%100)*2+1", 300, "q+1"),
+    ):
+        lv_arms.append(
+            f"SELECT symbol, seq, batch_id, '{side}' AS side, "
+            f"{base} + ({slot})*0.25 AS price, "
+            f"CASE WHEN seq%10=3 THEN 0.0 ELSE {dq} END AS qty FROM src"
+        )
+    lv = "lv AS (" + " UNION ALL ".join(lv_arms) + ")"
+    epochs = []
+    for b in range(_BOOK_EPOCHS):
+        epochs.append(
+            f"""
+            SELECT bk.symbol, {b} AS epoch,
+                   CAST(count(*) FILTER (WHERE side='bid' AND qty>0) AS INT)
+                     AS n_bids,
+                   CAST(count(*) FILTER (WHERE side='ask' AND qty>0) AS INT)
+                     AS n_asks,
+                   max(price) FILTER (WHERE side='bid' AND qty>0) AS best_bid,
+                   min(price) FILTER (WHERE side='ask' AND qty>0) AS best_ask,
+                   COALESCE(CAST(sum(CAST(round(qty*10) AS BIGINT))
+                     FILTER (WHERE side='bid' AND qty>0) AS BIGINT), 0)
+                     AS bid_qty_deci,
+                   COALESCE(CAST(sum(CAST(round(qty*10) AS BIGINT))
+                     FILTER (WHERE side='ask' AND qty>0) AS BIGINT), 0)
+                     AS ask_qty_deci,
+                   (SELECT max(seq) FROM lv x WHERE x.batch_id <= {b}
+                      AND x.symbol = bk.symbol) AS last_seq
+            FROM (SELECT symbol, side, price, arg_max(qty, seq) AS qty
+                  FROM lv WHERE batch_id <= {b}
+                  GROUP BY symbol, side, price) bk
+            WHERE bk.symbol IN (SELECT symbol FROM lv WHERE batch_id = {b})
+            GROUP BY bk.symbol
+            """
+        )
+    return (
+        "WITH " + src + ", " + lv + " "
+        + " UNION ALL ".join(epochs)
+    )
+
+
+@query(
+    "stream_book_reconstruct",
+    oracle=_sql_stream_book_oracle(),
+    doc="STREAMING order-book maintenance through the real parse plan "
+    "(the live twin of l2_book_reconstruct; binance_all.rs depth "
+    "semantics, qty-0 deletes): 3-micro-batch file stream of wire "
+    "depthUpdate messages -> full parse_l2 (from_json, dict broadcasts, "
+    "central snapshot sort — all JVM-side) -> one explode to level rows "
+    "-> per-symbol book state in applyInPandasWithState, merged by "
+    "LWW(seq_id) so out-of-order arrival cannot corrupt the book (the "
+    "three batches deliberately interleave seqs). Each epoch emits the "
+    "held book's summary (level counts, best bid/ask, integer deci-qty "
+    "depth, max seq) — the oracle recomputes every epoch's prefix "
+    "closed-form with arg_max(qty, seq), so a book that loses state "
+    "across batches, applies deltas in arrival order, or mishandles "
+    "deletes fails from epoch 1 on. Scale shape: state is keyed by "
+    "symbol and bounded by the live level count (the grid caps it at "
+    "400/symbol; real books are similarly bounded by exchange depth "
+    "limits), per-batch work is one shuffle to the state key; at 1000 "
+    "executors each symbol's book lives on exactly one state partition "
+    "— the same layout RocksDB state stores use. Emission is per-batch "
+    "append (observability rows), not a full-book dump.",
+)
+def stream_book_reconstruct(spark, sf_dir):
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    seq = (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long")
+    ts = F.lit(_BASE_TS) + F.col("l_orderkey")
+    q = F.col("l_quantity")
+    zero = F.col("l_orderkey") * 100 + F.col("l_linenumber")
+
+    def qty(base):
+        return F.when(zero % 10 == 3, F.lit(0.0)).otherwise(base)
+
+    def grid(mult, base, odd):
+        slot = (seq * mult) % 100 * 2 + (1 if odd else 0)
+        return F.lit(float(base)) + slot.cast("double") * 0.25
+
+    msg = F.format_string(
+        '{"stream":"%s@depth","data":{"e":"depthUpdate","E":%d,"s":"%s",'
+        '"U":%d,"u":%d,"pu":%d,'
+        '"b":[["%.2f","%.1f"],["%.2f","%.1f"]],'
+        '"a":[["%.2f","%.1f"],["%.2f","%.1f"]]}}',
+        F.lower(_spot_symbol()),
+        ts,
+        _spot_symbol(),
+        seq,
+        seq,
+        seq - 1,
+        grid(7, 100, False), qty(q),
+        grid(11, 100, True), qty(q + 1),
+        grid(13, 300, False), qty(q),
+        grid(17, 300, True), qty(q + 1),
+    )
+    wire = li.select(
+        F.lit("spot").alias("market_type"),
+        msg.alias("msg"),
+        F.lit(None).cast("long").alias("received_at"),
+        (F.expr("l_orderkey DIV 7") % 3).alias("batch_id"),
+    )
+
+    out_ddl = (
+        "symbol string, epoch int, n_bids int, n_asks int, "
+        "best_bid double, best_ask double, "
+        "bid_qty_deci bigint, ask_qty_deci bigint, last_seq bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            blob, last_seq = state.get
+            book = {tuple(k.split("|", 1)): v for k, v in _json.loads(blob).items()}
+        else:
+            book, last_seq = {}, -1
+        epoch = -1
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                epoch = max(epoch, int(r.batch_id))
+                lk = (r.side, repr(float(r.price)))
+                cur = book.get(lk)
+                # LWW by seq: batches interleave seqs, so arrival order
+                # is NOT update order — only a newer seq may overwrite
+                if cur is None or r.seq_id > cur[1]:
+                    book[lk] = [float(r.qty), int(r.seq_id)]
+                if r.seq_id > last_seq:
+                    last_seq = int(r.seq_id)
+        state.update(
+            (_json.dumps({f"{s}|{p}": v for (s, p), v in book.items()}), last_seq)
+        )
+        live = [(s, float(p), v[0]) for (s, p), v in book.items() if v[0] > 0]
+        bids = [(p, qv) for s, p, qv in live if s == "bid"]
+        asks = [(p, qv) for s, p, qv in live if s == "ask"]
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": key[0],
+                    "epoch": epoch,
+                    "n_bids": len(bids),
+                    "n_asks": len(asks),
+                    "best_bid": max(p for p, _ in bids) if bids else None,
+                    "best_ask": min(p for p, _ in asks) if asks else None,
+                    "bid_qty_deci": sum(int(round(qv * 10)) for _, qv in bids),
+                    "ask_qty_deci": sum(int(round(qv * 10)) for _, qv in asks),
+                    "last_seq": last_seq,
+                }
+            ]
+        )
+
+    src = tempfile.mkdtemp(prefix="book_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="book_stream_ckpt_")
+    name = f"stream_book_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(_BOOK_EPOCHS):
+            d = tempfile.mkdtemp(prefix="book_stream_part_")
+            wire.filter(F.col("batch_id") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "market_type string, msg string, received_at long, batch_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        parsed = binance.parse_l2(stream)
+        lv = parsed.select(
+            "symbol",
+            "seq_id",
+            # batch_id is a pure projection of seq_id — no join-back
+            (F.expr("(seq_id DIV 100) DIV 7") % 3).alias("batch_id"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "asks",
+                        lambda x: F.struct(
+                            F.lit("ask").alias("side"),
+                            x["price"].alias("price"),
+                            x["quantity_base"].alias("qty"),
+                        ),
+                    ),
+                    F.transform(
+                        "bids",
+                        lambda x: F.struct(
+                            F.lit("bid").alias("side"),
+                            x["price"].alias("price"),
+                            x["quantity_base"].alias("qty"),
+                        ),
+                    ),
+                )
+            ).alias("lv"),
+        ).select(
+            "symbol",
+            "seq_id",
+            "batch_id",
+            F.col("lv.side").alias("side"),
+            F.col("lv.price").alias("price"),
+            F.col("lv.qty").alias("qty"),
+        )
+        booked = lv.groupBy("symbol").applyInPandasWithState(
+            update,
+            outputStructType=out_ddl,
+            stateStructType="book string, last_seq bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        qh = (
+            booked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qh.awaitTermination(600):
+            qh.stop()
+            raise RuntimeError("stream_book_reconstruct did not drain in 600s")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).localCheckpoint(eager=True)

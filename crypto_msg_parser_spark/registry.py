@@ -170,7 +170,11 @@ _PRIORITY = [
     # ---- r02-evidence fill: entry smoke + one row per broad family ----
     "q1_pricing_summary",
     "spans_interleave_roundtrip",
-    "tfidf_top_terms",
+    # NEW this round: streaming L2 book maintenance (keyed state across
+    # interleaved micro-batches, LWW(seq) merge) — the live twin of
+    # l2_book_reconstruct. tfidf_top_terms yields its slot: it keeps r02
+    # driver evidence + oracle(local) coverage; this row has none
+    "stream_book_reconstruct",
     # NEW this round: proto3 wire-format round trips (f32 closed-form
     # oracles, trade + repeated-field orderbook) — outrank two more r02
     # re-verifies (events_tumbling_window yields to stream_candles_1m,

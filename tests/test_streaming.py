@@ -408,3 +408,65 @@ def test_watermark_flusher_must_not_be_filtered_pre_agg(spark, tmp_path):
     assert run(filter_sentinel=False) == 2
     # trap shape: sentinel dies below the watermark node -> nothing flushes
     assert run(filter_sentinel=True) == 0
+
+
+def test_stream_book_lww_merge_discriminates_arrival_order(spark):
+    """Negative arm for stream_book_reconstruct: its three micro-batches
+    interleave seq_ids (batch = (orderkey DIV 7) % 3), so a state update
+    that overwrites a level in ARRIVAL order (batch order) instead of
+    merging by LWW(seq) must disagree with the registered oracle's
+    arg_max(qty, seq) book on at least one level. Pure closed-form
+    simulation over the same lv rows — no streaming job needed; the
+    registered row itself proves stream == LWW oracle."""
+    import duckdb
+
+    from crypto_msg_parser_spark.parser.queries import (
+        _SQL_SPOT_SYMBOL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        WITH src AS (SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+               l_orderkey*100 + l_linenumber AS seq,
+               (l_orderkey // 7) % 3 AS batch_id,
+               CAST(l_quantity AS DOUBLE) AS q
+          FROM lineitem WHERE l_orderkey % 7 = 0)
+        SELECT symbol, seq, batch_id, side, price, qty FROM (
+          SELECT symbol, seq, batch_id, 'bid' AS side,
+                 100 + ((seq*7)%100)*2*0.25 AS price,
+                 CASE WHEN seq%10=3 THEN 0.0 ELSE q END AS qty FROM src
+          UNION ALL
+          SELECT symbol, seq, batch_id, 'bid',
+                 100 + (((seq*11)%100)*2+1)*0.25,
+                 CASE WHEN seq%10=3 THEN 0.0 ELSE q+1 END FROM src
+          UNION ALL
+          SELECT symbol, seq, batch_id, 'ask',
+                 300 + ((seq*13)%100)*2*0.25,
+                 CASE WHEN seq%10=3 THEN 0.0 ELSE q END FROM src
+          UNION ALL
+          SELECT symbol, seq, batch_id, 'ask',
+                 300 + (((seq*17)%100)*2+1)*0.25,
+                 CASE WHEN seq%10=3 THEN 0.0 ELSE q+1 END FROM src)
+        ORDER BY batch_id, seq
+        """
+    ).fetchall()
+
+    lww, naive = {}, {}
+    for symbol, seq, batch_id, side, price, qty in rows:
+        k = (symbol, side, price)
+        cur = lww.get(k)
+        if cur is None or seq > cur[1]:
+            lww[k] = (qty, seq)
+        naive[k] = (qty, seq)  # arrival order: later batch always wins
+
+    lww_book = {k: v[0] for k, v in lww.items() if v[0] > 0}
+    naive_book = {k: v[0] for k, v in naive.items() if v[0] > 0}
+    assert lww_book != naive_book, (
+        "batch interleaving no longer produces out-of-order updates — "
+        "the streaming row has lost its discriminating power"
+    )
