@@ -125,6 +125,10 @@ HEADLINE = [
     # r04: streaming L2 book maintenance (keyed state, LWW(seq) merge
     # across interleaved micro-batches; fresh checkpoint per run)
     "stream_book_reconstruct",
+    # r04: integer-exact hourly realized volatility + lake compaction
+    # planner (manifest-window bin pack)
+    "realized_volatility_1h",
+    "lake_compaction_plan",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

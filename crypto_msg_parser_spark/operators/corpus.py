@@ -589,3 +589,82 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sampled).select(
         "doc_id", "source", "quality_score", "n_tok", "start_offset", "pack_id"
     )
+
+
+# ------------------------------------------- lake compaction planner
+#
+# Lake MAINTENANCE, not a data query: the small-file problem is what
+# actually kills 100 TB parquet lakes (every streaming ingest epoch lands
+# thousands of sub-10MB files; scans then pay per-file open cost and
+# planning chokes on the manifest). The standard fix (Delta OPTIMIZE /
+# Iceberg rewrite) first PLANS output groups over the file manifest; this
+# op is that planner: within each lake partition, files in id order are
+# assigned to an output group whenever the running byte total crosses the
+# target size. The plan runs over the MANIFEST (one row per file), which
+# is ~6 orders of magnitude smaller than the data (100 TB / 128 MB files
+# = ~800k rows), so the per-partition ordered window is NOT the
+# pack_sequences single-partition trap — the frame it windows over is
+# bounded by file count, and each partition's slice is independent.
+
+_COMPACT_TARGET_CHARS = 2000
+
+
+@query(
+    "lake_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(CAST(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS bytes_before
+      FROM documents),
+    grouped AS (
+      SELECT source, doc_id, n_chars,
+             bytes_before // {_COMPACT_TARGET_CHARS} AS out_group
+      FROM manifest)
+    SELECT source, CAST(out_group AS BIGINT) AS out_group,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS group_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM grouped GROUP BY source, out_group
+    """,
+    doc="small-file compaction planner for the partitioned parquet lake "
+    "(the maintenance job behind write_parquet_lake): within each lake "
+    "partition, files in id order join an output group whenever the "
+    "running byte total crosses the target size — the deterministic "
+    "streaming bin-pack rule Delta OPTIMIZE / Iceberg rewrite use, "
+    "expressed as one per-partition cumulative window over the file "
+    "MANIFEST plus a partial-agg rollup per planned group. Integer "
+    "byte accounting throughout (exact associative sums). Scale: the "
+    "manifest is one row per FILE (~800k rows at 100 TB / 128 MB), so "
+    "the ordered window frames are bounded by per-partition file count "
+    "— six orders smaller than the data it plans for; the rewrite "
+    "itself would then be one repartition-by-group write per partition.",
+)
+def lake_compaction_plan(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    manifest = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("bytes_before"),
+    )
+    grouped = manifest.withColumn(
+        "out_group",
+        F.expr(f"bytes_before DIV {_COMPACT_TARGET_CHARS}").cast("long"),
+    )
+    return grouped.groupBy("source", "out_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("group_bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

@@ -2758,3 +2758,90 @@ def stream_book_reconstruct(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@query(
+    "realized_volatility_1h",
+    oracle=f"""
+    WITH trades AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT) AS seq
+      FROM lineitem),
+    m AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             arg_max(price_cents, seq) AS close_cents
+      FROM trades GROUP BY symbol, ts - ts % 60000),
+    d AS (
+      SELECT symbol, minute,
+             close_cents - lag(close_cents) OVER (
+               PARTITION BY symbol ORDER BY minute) AS diff
+      FROM m)
+    SELECT symbol,
+           minute - minute % 3600000 AS hour_start,
+           CAST(count(diff) AS INT) AS n_intervals,
+           COALESCE(CAST(sum(diff * diff) AS BIGINT), 0) AS rv_cents2,
+           sqrt(COALESCE(sum(diff * diff), 0)) / 100.0 AS vol_usd
+    FROM d GROUP BY symbol, minute - minute % 3600000
+    """,
+    doc="hourly realized volatility per symbol from 1-minute closes — "
+    "the risk metric every reference user computes downstream of the "
+    "candle pipeline, built float-drift-free: closes quantize to "
+    "integer cents (plans/money.py), minute close = arg_max(cents, "
+    "key) with price folded into the key low digits for tie-freedom, squared "
+    "close-to-close diffs sum as exact associative BIGINTs per hour, "
+    "and the volatility scalar is two IEEE ops (sqrt, divide) on that "
+    "identical integer — a double sum-of-squares would drift with "
+    "partial-agg order and fail value-hash at any scale. The "
+    "cross-hour diff assigns to the LATER minute's hour (lag runs "
+    "over the full symbol history, then the hour rollup groups it). "
+    "Scale shape: one shuffle to (symbol, minute) for the close agg, "
+    "one per-symbol ordered window over MINUTES (bounded: 526k rows "
+    "per symbol-year — a metadata-sized frame, not a data-sized one), "
+    "then a partial-agg hour rollup on the same symbol partitioning.",
+)
+def realized_volatility_1h(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        # (orderkey, linenumber) pairs COLLIDE as a bare orderkey*10+line
+        # key (observed at sf0.001); folding price_cents into the low
+        # digits makes arg_max tie-free in both engines — ties that
+        # remain have equal price_cents, so the chosen close is equal
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round("l_extendedprice", 2))
+        ).alias("seq"),
+    )
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute")
+    m = trades.groupBy("symbol", minute).agg(
+        F.max_by("price_cents", "seq").alias("close_cents")
+    )
+    w = W.partitionBy("symbol").orderBy("minute")
+    d = m.select(
+        "symbol",
+        "minute",
+        (F.col("close_cents") - F.lag("close_cents").over(w)).alias("diff"),
+    )
+    hour = (F.col("minute") - F.col("minute") % 3600000).alias("hour_start")
+    return d.groupBy("symbol", hour).agg(
+        F.count("diff").cast("int").alias("n_intervals"),
+        F.coalesce(F.sum(F.col("diff") * F.col("diff")), F.lit(0))
+        .cast("long")
+        .alias("rv_cents2"),
+        (
+            F.sqrt(F.coalesce(F.sum(F.col("diff") * F.col("diff")), F.lit(0)))
+            / F.lit(100.0)
+        ).alias("vol_usd"),
+    )

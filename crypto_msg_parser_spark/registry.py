@@ -165,11 +165,17 @@ _PRIORITY = [
     # range_join_error_follow yields — it keeps r01 driver evidence and
     # oracle(local) coverage; this row has none
     "crawl_bfs_expansion",
-    # ---- oldest driver evidence (r01) ----
-    "candles_recompute_1m",
+    # NEW this round: hourly realized volatility (integer-exact
+    # sum-of-squares on minute closes) — candles_recompute_1m yields its
+    # slot (r01 evidence + oracle(local); rv exercises the same minute
+    # close math downstream)
+    "realized_volatility_1h",
     # ---- r02-evidence fill: entry smoke + one row per broad family ----
     "q1_pricing_summary",
-    "spans_interleave_roundtrip",
+    # NEW this round: lake compaction planner (manifest-window bin pack)
+    # — spans_interleave_roundtrip yields (r02 evidence + oracle(local);
+    # the spans family keeps 4 other rows in the sample)
+    "lake_compaction_plan",
     # NEW this round: streaming L2 book maintenance (keyed state across
     # interleaved micro-batches, LWW(seq) merge) — the live twin of
     # l2_book_reconstruct. tfidf_top_terms yields its slot: it keeps r02
