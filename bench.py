@@ -129,6 +129,8 @@ HEADLINE = [
     # planner (manifest-window bin pack)
     "realized_volatility_1h",
     "lake_compaction_plan",
+    # r04: streaming sequence-gap recovery (desync -> snapshot re-seed)
+    "stream_book_resync",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

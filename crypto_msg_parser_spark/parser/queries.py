@@ -2845,3 +2845,386 @@ def realized_volatility_1h(spark, sf_dir):
             / F.lit(100.0)
         ).alias("vol_usd"),
     )
+
+
+# --------------------------------- streaming book resync after seq gap
+#
+# The reference's LIVE failure-recovery protocol (binance depth chain:
+# apply only pu == last_u; on mismatch the client is OUT OF SYNC, must
+# discard deltas and re-seed from a REST snapshot whose lastUpdateId
+# bridges the gap). l2_seq_gap_detect FLAGS gaps; this row ACTS on one:
+# a 20-message hole is punched into one symbol's second micro-batch, the
+# keyed state machine desyncs at the break, discards the tail, accepts
+# the snapshot that opens batch 3 (prev_seq_id NULL = snapshot marker;
+# it REPLACES the book), and chains cleanly on the post-snapshot deltas.
+# The healed final book equals the no-gap truth — including the effects
+# of the never-delivered messages, which arrive via the snapshot — and
+# the oracle checks every epoch's book, sync flag, and cumulative
+# discard count closed-form.
+
+_RESYNC_GAP_SYMBOL = "BTCUSDT"
+
+
+def _sql_resync_oracle() -> str:
+    # k = per-symbol dense message index; bounds b0/b1 are the batch
+    # edges, the gap is (b0+10, b0+30] for the gapped symbol only
+    return f"""
+    WITH src AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             row_number() OVER (
+               PARTITION BY {_SQL_SPOT_SYMBOL}
+               ORDER BY l_orderkey, l_linenumber, l_quantity) AS k,
+             CAST(l_quantity AS DOUBLE) AS q
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    bounds AS (
+      SELECT symbol, max(k) AS n,
+             (max(k) * 2) // 5 AS b0, (max(k) * 7) // 10 AS b1
+      FROM src GROUP BY symbol),
+    lv AS (
+      SELECT symbol, k, 'bid' AS side, 100 + ((k*7)%100)*2*0.25 AS price,
+             CASE WHEN k%10=3 THEN 0.0 ELSE q END AS qty FROM src
+      UNION ALL SELECT symbol, k, 'bid', 100 + (((k*11)%100)*2+1)*0.25,
+             CASE WHEN k%10=3 THEN 0.0 ELSE q+1 END FROM src
+      UNION ALL SELECT symbol, k, 'ask', 300 + ((k*13)%100)*2*0.25,
+             CASE WHEN k%10=3 THEN 0.0 ELSE q END FROM src
+      UNION ALL SELECT symbol, k, 'ask', 300 + (((k*17)%100)*2+1)*0.25,
+             CASE WHEN k%10=3 THEN 0.0 ELSE q+1 END FROM src),
+    epochs AS (SELECT * FROM (VALUES (0), (1), (2)) e(epoch)),
+    -- messages APPLIED by the correct state machine at each epoch end
+    applied AS (
+      SELECT l.symbol, e.epoch, l.side, l.price, l.qty, l.k
+      FROM lv l JOIN bounds b ON l.symbol = b.symbol
+      CROSS JOIN epochs e
+      WHERE l.k <= CASE e.epoch
+          WHEN 0 THEN b.b0
+          WHEN 1 THEN CASE WHEN l.symbol = '{_RESYNC_GAP_SYMBOL}'
+                           THEN b.b0 + 10 ELSE b.b1 END
+          ELSE b.n END),
+    book AS (
+      SELECT symbol, epoch, side, price, arg_max(qty, k) AS qty
+      FROM applied GROUP BY symbol, epoch, side, price)
+    SELECT bk.symbol, bk.epoch,
+           CAST(NOT (bk.symbol = '{_RESYNC_GAP_SYMBOL}' AND bk.epoch = 1)
+                AS BOOLEAN) AS in_sync,
+           CAST(count(*) FILTER (WHERE side='bid' AND qty>0) AS INT)
+             AS n_bids,
+           CAST(count(*) FILTER (WHERE side='ask' AND qty>0) AS INT)
+             AS n_asks,
+           max(price) FILTER (WHERE side='bid' AND qty>0) AS best_bid,
+           min(price) FILTER (WHERE side='ask' AND qty>0) AS best_ask,
+           COALESCE(CAST(sum(CAST(round(qty*10) AS BIGINT))
+             FILTER (WHERE side='bid' AND qty>0) AS BIGINT), 0)
+             AS bid_qty_deci,
+           COALESCE(CAST(sum(CAST(round(qty*10) AS BIGINT))
+             FILTER (WHERE side='ask' AND qty>0) AS BIGINT), 0)
+             AS ask_qty_deci,
+           CAST(CASE WHEN bk.symbol = '{_RESYNC_GAP_SYMBOL}'
+                     AND bk.epoch >= 1
+                THEN b.b1 - (b.b0 + 30) ELSE 0 END AS BIGINT)
+             AS n_discarded,
+           CAST(CASE bk.epoch WHEN 0 THEN b.b0
+                WHEN 1 THEN CASE WHEN bk.symbol = '{_RESYNC_GAP_SYMBOL}'
+                                 THEN b.b0 + 10 ELSE b.b1 END
+                ELSE b.n END AS BIGINT) AS last_seq
+    FROM book bk JOIN bounds b ON bk.symbol = b.symbol
+    GROUP BY bk.symbol, bk.epoch, b.b0, b.b1, b.n
+    """
+
+
+@query(
+    "stream_book_resync",
+    oracle=_sql_resync_oracle(),
+    doc="STREAMING sequence-gap recovery — the reference client's "
+    "binance depth resync protocol as a keyed state machine: apply a "
+    "delta only when prev_seq_id == held last_seq; on mismatch DESYNC "
+    "(discard deltas, count them); accept a snapshot (prev_seq_id "
+    "NULL, seq_id > last_seq) by REPLACING the book and re-chaining. A "
+    "20-message hole is punched into one symbol's batch-1 tail; batch "
+    "2 opens with a snapshot whose levels are the closed-form LWW book "
+    "through batch 1 (built in-plan by the generator — it contains the "
+    "never-delivered messages' effects, exactly like the exchange's "
+    "REST book), so the healed epoch-2 book equals the no-gap truth "
+    "while epoch 1 shows in_sync=false and the exact discard count. A "
+    "client that ignored the chain break would keep a book missing the "
+    "hole's effects — tests/test_streaming.py simulates both machines "
+    "closed-form and pins their divergence. Scale shape: identical to "
+    "stream_book_reconstruct (per-symbol keyed state, one shuffle per "
+    "batch); the snapshot path adds only a per-desynced-symbol message.",
+)
+def stream_book_resync(spark, sf_dir):
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    # (l_orderkey, l_linenumber) DUPLICATES in the synthetic lineitem —
+    # a bare row_number over it is engine-nondeterministic; l_quantity is
+    # the only column that enters the message, so adding it to the order
+    # makes every residual tie output-identical
+    wk = W.partitionBy(_spot_symbol()).orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    base = li.select(
+        _spot_symbol().alias("symbol"),
+        F.row_number().over(wk).cast("long").alias("k"),
+        F.col("l_quantity").cast("double").alias("q"),
+    ).localCheckpoint(eager=False)
+    wb = W.partitionBy("symbol")
+    bounded = base.select(
+        "symbol", "k", "q",
+        F.max("k").over(wb).alias("n"),
+        F.expr("(max(k) OVER (PARTITION BY symbol) * 2) DIV 5").alias("b0"),
+        F.expr("(max(k) OVER (PARTITION BY symbol) * 7) DIV 10").alias("b1"),
+    )
+
+    k = F.col("k")
+
+    def qty(basecol):
+        return F.when(k % 10 == 3, F.lit(0.0)).otherwise(basecol)
+
+    def grid(mult, basep, odd):
+        slot = (k * mult) % 100 * 2 + (1 if odd else 0)
+        return F.lit(float(basep)) + slot.cast("double") * 0.25
+
+    ts = F.lit(_BASE_TS) + k
+    delta_msg = F.format_string(
+        '{"stream":"%s@depth","data":{"e":"depthUpdate","E":%d,"s":"%s",'
+        '"U":%d,"u":%d,"pu":%d,'
+        '"b":[["%.2f","%.1f"],["%.2f","%.1f"]],'
+        '"a":[["%.2f","%.1f"],["%.2f","%.1f"]]}}',
+        F.lower(F.col("symbol")), ts, F.col("symbol"),
+        k, k, k - 1,
+        grid(7, 100, False), qty(F.col("q")),
+        grid(11, 100, True), qty(F.col("q") + 1),
+        grid(13, 300, False), qty(F.col("q")),
+        grid(17, 300, True), qty(F.col("q") + 1),
+    )
+    gap = (
+        (F.col("symbol") == _RESYNC_GAP_SYMBOL)
+        & (k > F.col("b0") + 10)
+        & (k <= F.col("b0") + 30)
+    )
+    deltas = bounded.filter(~gap).select(
+        F.lit("spot").alias("market_type"),
+        delta_msg.alias("msg"),
+        F.lit(None).cast("long").alias("received_at"),
+        F.when(k <= F.col("b0"), 0)
+        .when(k <= F.col("b1"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("batch_id"),
+    )
+
+    # snapshot for the gapped symbol: LWW book through batch 1 (zeros
+    # kept — applying it is then equivalent to replacing), u = b1,
+    # pu = -1 -> parses to NULL prev_seq_id (the snapshot marker)
+    lv = None
+    for side, mult, basep, odd, qcol in (
+        ("bid", 7, 100, False, F.col("q")),
+        ("bid", 11, 100, True, F.col("q") + 1),
+        ("ask", 13, 300, False, F.col("q")),
+        ("ask", 17, 300, True, F.col("q") + 1),
+    ):
+        part = bounded.filter(
+            (F.col("symbol") == _RESYNC_GAP_SYMBOL) & (k <= F.col("b1"))
+        ).select(
+            "symbol", "k", "b1",
+            F.lit(side).alias("side"),
+            grid(mult, basep, odd).alias("price"),
+            qty(qcol).alias("qty"),
+        )
+        lv = part if lv is None else lv.unionByName(part)
+    last = lv.groupBy("symbol", "b1", "side", "price").agg(
+        F.max_by("qty", "k").alias("qty")
+    )
+    sides = (
+        last.groupBy("symbol", "b1")
+        .pivot("side", ["bid", "ask"])
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("price", "qty"))
+                    ),
+                    lambda x: F.format_string(
+                        '["%.2f","%.1f"]', x["price"], x["qty"]
+                    ),
+                ),
+                ",",
+            )
+        )
+    )
+    snap_msg = F.format_string(
+        '{"stream":"%s@depth","data":{"e":"depthUpdate","E":%d,"s":"%s",'
+        '"U":%d,"u":%d,"pu":%d,"b":[%s],"a":[%s]}}',
+        F.lower(F.col("symbol")),
+        F.lit(_BASE_TS) + F.col("b1"),
+        F.col("symbol"),
+        F.col("b1"),
+        F.col("b1"),
+        F.lit(-1),
+        F.col("bid"),
+        F.col("ask"),
+    )
+    snapshot = sides.select(
+        F.lit("spot").alias("market_type"),
+        snap_msg.alias("msg"),
+        F.lit(None).cast("long").alias("received_at"),
+        F.lit(2).cast("int").alias("batch_id"),
+    )
+    wire = deltas.unionByName(snapshot)
+
+    out_ddl = (
+        "symbol string, epoch int, in_sync boolean, n_bids int, n_asks int, "
+        "best_bid double, best_ask double, "
+        "bid_qty_deci bigint, ask_qty_deci bigint, "
+        "n_discarded bigint, last_seq bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, last_u, synced, dropped, n_batches = state.get
+            book = {
+                tuple(kk.split("|", 1)): v for kk, v in _json.loads(blob).items()
+            }
+        else:
+            book, last_u, synced, dropped, n_batches = {}, 0, True, 0, 0
+        # epoch = per-symbol invocation count: batch_id does not survive
+        # parse_l2, and every symbol has messages in every micro-batch by
+        # construction (the hole is punched mid-batch), so the counter
+        # equals the global batch index
+        epoch = int(n_batches)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for seq_id, msg in sorted(pdf.groupby("seq_id"), key=lambda t: t[0]):
+            pu_raw = msg["prev_seq_id"].iloc[0]
+            is_snap = pd.isna(pu_raw)
+            if synced:
+                if is_snap or int(pu_raw) != last_u:
+                    synced = False
+                    dropped += 1
+                    continue
+            else:
+                if not (is_snap and int(seq_id) > last_u):
+                    dropped += 1
+                    continue
+                book = {}  # snapshot REPLACES the book
+                synced = True
+            for r in msg.itertuples():
+                book[(r.side, repr(float(r.price)))] = [float(r.qty), int(seq_id)]
+            last_u = int(seq_id)
+        state.update(
+            (
+                _json.dumps({f"{s}|{p}": v for (s, p), v in book.items()}),
+                last_u,
+                synced,
+                dropped,
+                n_batches + 1,
+            )
+        )
+        live = [(s, float(p), v[0]) for (s, p), v in book.items() if v[0] > 0]
+        bids = [(p, qv) for s, p, qv in live if s == "bid"]
+        asks = [(p, qv) for s, p, qv in live if s == "ask"]
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": key[0],
+                    "epoch": epoch,
+                    "in_sync": synced,
+                    "n_bids": len(bids),
+                    "n_asks": len(asks),
+                    "best_bid": max(p for p, _ in bids) if bids else None,
+                    "best_ask": min(p for p, _ in asks) if asks else None,
+                    "bid_qty_deci": sum(int(round(qv * 10)) for _, qv in bids),
+                    "ask_qty_deci": sum(int(round(qv * 10)) for _, qv in asks),
+                    "n_discarded": dropped,
+                    "last_seq": last_u,
+                }
+            ]
+        )
+
+    src = tempfile.mkdtemp(prefix="resync_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="resync_stream_ckpt_")
+    name = f"stream_resync_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(3):
+            d = tempfile.mkdtemp(prefix="resync_stream_part_")
+            wire.filter(F.col("batch_id") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "market_type string, msg string, received_at long, batch_id int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        parsed = binance.parse_l2(stream)
+        lvs = parsed.select(
+            "symbol",
+            "seq_id",
+            "prev_seq_id",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "asks",
+                        lambda x: F.struct(
+                            F.lit("ask").alias("side"),
+                            x["price"].alias("price"),
+                            x["quantity_base"].alias("qty"),
+                        ),
+                    ),
+                    F.transform(
+                        "bids",
+                        lambda x: F.struct(
+                            F.lit("bid").alias("side"),
+                            x["price"].alias("price"),
+                            x["quantity_base"].alias("qty"),
+                        ),
+                    ),
+                )
+            ).alias("lv"),
+        ).select(
+            "symbol",
+            "seq_id",
+            "prev_seq_id",
+            F.col("lv.side").alias("side"),
+            F.col("lv.price").alias("price"),
+            F.col("lv.qty").alias("qty"),
+        )
+        booked = lvs.groupBy("symbol").applyInPandasWithState(
+            update,
+            outputStructType=out_ddl,
+            stateStructType=(
+                "book string, last_u bigint, synced boolean, dropped bigint, "
+                "n_batches bigint"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        qh = (
+            booked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qh.awaitTermination(600):
+            qh.stop()
+            raise RuntimeError("stream_book_resync did not drain in 600s")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).localCheckpoint(eager=True)

@@ -170,8 +170,11 @@ _PRIORITY = [
     # slot (r01 evidence + oracle(local); rv exercises the same minute
     # close math downstream)
     "realized_volatility_1h",
-    # ---- r02-evidence fill: entry smoke + one row per broad family ----
-    "q1_pricing_summary",
+    # NEW this round: streaming sequence-gap recovery (desync -> discard
+    # -> snapshot re-seed -> healed book) — q1_pricing_summary yields its
+    # slot: it keeps r02 driver evidence AND the driver's entry() smoke
+    # exercises the same plan every round
+    "stream_book_resync",
     # NEW this round: lake compaction planner (manifest-window bin pack)
     # — spans_interleave_roundtrip yields (r02 evidence + oracle(local);
     # the spans family keeps 4 other rows in the sample)

@@ -470,3 +470,71 @@ def test_stream_book_lww_merge_discriminates_arrival_order(spark):
         "batch interleaving no longer produces out-of-order updates — "
         "the streaming row has lost its discriminating power"
     )
+
+
+def test_resync_protocol_discriminates_ignore_gap_client(spark):
+    """Negative arm for stream_book_resync: a client that ignores the
+    chain break (keeps applying whatever deltas arrive, never takes the
+    snapshot) must end with a book DIFFERENT from the healed one —
+    otherwise the punched hole changed nothing and the row cannot
+    discriminate. Closed-form simulation over the same per-symbol k
+    sequence; the registered row itself proves stream == healed oracle."""
+    import duckdb
+
+    from crypto_msg_parser_spark.parser.queries import (
+        _RESYNC_GAP_SYMBOL,
+        _SQL_SPOT_SYMBOL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        WITH src AS (
+          SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+                 row_number() OVER (
+                   PARTITION BY {_SQL_SPOT_SYMBOL}
+                   ORDER BY l_orderkey, l_linenumber, l_quantity) AS k,
+                 CAST(l_quantity AS DOUBLE) AS q
+          FROM lineitem WHERE l_orderkey % 7 = 0)
+        SELECT symbol, k, q, max(k) OVER (PARTITION BY symbol) AS n
+        FROM src WHERE symbol = '{_RESYNC_GAP_SYMBOL}' ORDER BY k
+        """
+    ).fetchall()
+    n = rows[0][3]
+    b0, b1 = (n * 2) // 5, (n * 7) // 10
+    gap = set(range(b0 + 11, b0 + 31))
+
+    def levels(k, q):
+        out = []
+        for side, mult, base, odd, qq in (
+            ("bid", 7, 100, 0, q), ("bid", 11, 100, 1, q + 1),
+            ("ask", 13, 300, 0, q), ("ask", 17, 300, 1, q + 1),
+        ):
+            price = base + ((k * mult) % 100 * 2 + odd) * 0.25
+            out.append((side, price, 0.0 if k % 10 == 3 else qq))
+        return out
+
+    # healed truth: every message's levels, LWW by k
+    truth = {}
+    for _, k, q, _ in rows:
+        for side, price, qty in levels(k, q):
+            truth[(side, price)] = qty
+    truth = {kk: v for kk, v in truth.items() if v > 0}
+
+    # gap-ignoring client: applies every DELIVERED delta, no snapshot
+    naive = {}
+    for _, k, q, _ in rows:
+        if k in gap:
+            continue  # never delivered
+        for side, price, qty in levels(k, q):
+            naive[(side, price)] = qty
+    naive = {kk: v for kk, v in naive.items() if v > 0}
+
+    assert naive != truth, (
+        "punched hole left no trace in the final book — the resync row "
+        "has lost its discriminating power"
+    )
