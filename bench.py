@@ -131,6 +131,9 @@ HEADLINE = [
     "lake_compaction_plan",
     # r04: streaming sequence-gap recovery (desync -> snapshot re-seed)
     "stream_book_resync",
+    # r04: cross-exchange NBBO consolidation + minute-grid gap fill
+    "nbbo_consolidated_1m",
+    "candles_gap_fill",
     # r04: the two stateful-streaming driver rows — each run restarts the
     # availableNow job(s) from scratch (fresh checkpoint), so these time
     # the full state-store lifecycle, not a warmed plan

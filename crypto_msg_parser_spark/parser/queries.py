@@ -3228,3 +3228,235 @@ def stream_book_resync(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@query(
+    "nbbo_consolidated_1m",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_SQL_SPOT_PAIR} AS pair,
+             ({_BASE_TS} + l_orderkey)
+               - ({_BASE_TS} + l_orderkey) % 60000 AS minute_start,
+             CAST(round(round(l_extendedprice - 1, 2) * 100) AS BIGINT)
+               AS bid_cents,
+             CAST(round(round(l_extendedprice + 1, 2) * 100) AS BIGINT)
+               AS ask_cents,
+             'binance' AS ex
+      FROM lineitem),
+    k AS (
+      SELECT CASE l_partkey % 4 WHEN 0 THEN 'BTC/USDT'
+                  WHEN 1 THEN 'ETH/USDT' WHEN 2 THEN 'DOGE/USDT'
+                  ELSE 'BTC/USDT' END AS pair,
+             (({_SEC_BASE} + l_orderkey // 1000) * 1000)
+               - (({_SEC_BASE} + l_orderkey // 1000) * 1000) % 60000
+               AS minute_start,
+             CAST(round(round(l_extendedprice - 1
+               + CASE WHEN l_orderkey % 2 = 0 THEN 0.01 ELSE -0.01 END,
+               2) * 100) AS BIGINT) AS bid_cents,
+             CAST(round(round(l_extendedprice + 1
+               - CASE WHEN l_orderkey % 2 = 0 THEN 0.01 ELSE -0.01 END,
+               2) * 100) AS BIGINT) AS ask_cents,
+             'kraken' AS ex
+      FROM lineitem),
+    q AS (SELECT * FROM b UNION ALL SELECT * FROM k)
+    SELECT pair, minute_start,
+           max(bid_cents) AS nbbo_bid_cents,
+           arg_max(ex, bid_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS bid_venue,
+           min(ask_cents) AS nbbo_ask_cents,
+           arg_min(ex, ask_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS ask_venue,
+           CAST(count(*) AS BIGINT) AS n_quotes,
+           max(bid_cents) >= min(ask_cents) AS crossed
+    FROM q GROUP BY pair, minute_start
+    """,
+    doc="cross-exchange consolidated best bid/offer (the NBBO of the "
+    "reference's unified-pair space): binance bookTicker and kraken "
+    "spread frames flow through their OWN parse arms, land on the "
+    "shared BBO schema with pairs normalized into one namespace "
+    "(binance 'BTCUSDT' and kraken 'XBT/USDT' both -> 'BTC/USDT' — the "
+    "whole point of normalize_pair), and a per (pair, minute) "
+    "aggregate takes the best bid / best ask across venues with "
+    "arg_max over an integer cents*2+venue-bit key so venue "
+    "attribution is tie-free by construction. Kraken quotes are deterministically "
+    "±1 cent around binance's so the winning venue alternates, and "
+    "one pair (BNB/BTC) is binance-only — the single-venue NBBO edge "
+    "case. Integer cents before aggregation (plans/money.py); "
+    "crossed-book flag = one integer compare on the aggregates. Scale "
+    "shape: two parse pipelines (zero per-row Python), one unionByName "
+    "(no shuffle), one partial-agg groupBy on (pair, minute).",
+)
+def nbbo_consolidated_1m(spark, sf_dir):
+    from crypto_msg_parser_spark.parser import kraken
+    from crypto_msg_parser_spark.plans.money import cents
+
+    # ---- binance leg: the existing bookTicker wire + parse arm
+    bz = binance.parse_bbo(_bbo_msgs(spark, sf_dir))
+
+    # ---- kraken leg: spread frames through kraken.parse_bbo
+    li = _msg_source(spark, sf_dir)
+    delta = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0.01)).otherwise(
+        F.lit(-0.01)
+    )
+    kbid = F.round(F.col("l_extendedprice") - 1 + delta, 2)
+    kask = F.round(F.col("l_extendedprice") + 1 - delta, 2)
+    kpair = F.col("l_partkey") % 4
+    ksym = (
+        F.when(kpair == 0, "XBT/USDT")
+        .when(kpair == 1, "ETH/USDT")
+        .when(kpair == 2, "XDG/USDT")
+        .otherwise("XBT/USDT")
+    )
+    sec = F.lit(_SEC_BASE) + F.expr("l_orderkey DIV 1000")
+    kmsg = F.format_string(
+        '[340,["%.2f","%.2f","%d.000000","%.1f","%.1f"],"spread","%s"]',
+        kbid,
+        kask,
+        sec,
+        F.col("l_quantity"),
+        F.col("l_quantity") + 1,
+        ksym,
+    )
+    kraw = li.select(
+        _msg_id().alias("msg_id"),
+        F.lit(None).cast("long").alias("received_at"),
+        kmsg.alias("msg"),
+    ).localCheckpoint(eager=False).select(
+        "msg_id",
+        F.lit("kraken").alias("exchange"),
+        F.lit("spot").alias("market_type"),
+        "received_at",
+        "msg",
+    )
+    kz = kraken.parse_bbo(kraw)
+
+    quotes = None
+    for leg in (bz, kz):
+        one = leg.select(
+            "pair",
+            (F.col("timestamp") - F.col("timestamp") % 60000).alias(
+                "minute_start"
+            ),
+            cents(F.col("bid_price")).alias("bid_cents"),
+            cents(F.col("ask_price")).alias("ask_cents"),
+            F.col("exchange").alias("ex"),
+        )
+        quotes = one if quotes is None else quotes.unionByName(one)
+    return quotes.groupBy("pair", "minute_start").agg(
+        F.max("bid_cents").alias("nbbo_bid_cents"),
+        # venue folded into the integer order key: cents*2 + venue bit —
+        # a cross-venue cents tie resolves to kraken on the bid (max) and
+        # binance on the ask (min), deterministically in both engines
+        F.max_by(
+            "ex",
+            F.col("bid_cents") * 2
+            + (F.col("ex") == "kraken").cast("long"),
+        ).alias("bid_venue"),
+        F.min("ask_cents").alias("nbbo_ask_cents"),
+        F.min_by(
+            "ex",
+            F.col("ask_cents") * 2
+            + (F.col("ex") == "kraken").cast("long"),
+        ).alias("ask_venue"),
+        F.count(F.lit(1)).cast("long").alias("n_quotes"),
+        (F.max("bid_cents") >= F.min("ask_cents")).alias("crossed"),
+    )
+
+
+@query(
+    "candles_gap_fill",
+    oracle=f"""
+    WITH trades AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT) AS seq
+      FROM lineitem),
+    m AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             arg_max(price_cents, seq) AS close_cents
+      FROM trades GROUP BY symbol, ts - ts % 60000),
+    rng AS (SELECT symbol, min(minute) AS mn, max(minute) AS mx
+            FROM m GROUP BY symbol),
+    grid AS (
+      SELECT symbol, unnest(generate_series(mn, mx, 60000)) AS minute
+      FROM rng),
+    j AS (
+      SELECT g.symbol, g.minute, m.close_cents,
+             m.close_cents IS NULL AS is_gap
+      FROM grid g LEFT JOIN m ON g.symbol = m.symbol AND g.minute = m.minute)
+    SELECT symbol, minute AS minute_start,
+           CAST(last_value(close_cents IGNORE NULLS) OVER (
+             PARTITION BY symbol ORDER BY minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS close_cents,
+           is_gap
+    FROM j
+    """,
+    doc="minute-grid gap fill over the candle series — the time-series "
+    "repair every chart/backtest consumer needs (sparse trading leaves "
+    "minutes with no candle; the filled series carries the last known "
+    "close forward and flags synthetic rows): per symbol, the complete "
+    "minute grid materializes in-plan via sequence()+explode bounded "
+    "by the symbol's own [min, max] range, left-joins the observed "
+    "closes, and forward-fills with last(ignorenulls) over an ordered "
+    "per-symbol window. Closes are the rv row's tie-free integer-cents "
+    "arg_max, so the fill is hash-exact. Scale shape: the grid is one "
+    "row per symbol-MINUTE (526k/symbol-year — bounded metadata, not "
+    "data), the join is an equi-join on (symbol, minute) AQE handles, "
+    "and the fill window frames the same bounded minute series; the "
+    "first grid row per symbol is always observed (the range starts at "
+    "an observed minute), so the fill is total.",
+)
+def candles_gap_fill(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round("l_extendedprice", 2))
+        ).alias("seq"),
+    )
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute")
+    m = trades.groupBy("symbol", minute).agg(
+        F.max_by("price_cents", "seq").alias("close_cents")
+    )
+    rng = m.groupBy("symbol").agg(
+        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    )
+    grid = rng.select(
+        "symbol",
+        F.explode(F.sequence("mn", "mx", F.lit(60000).cast("long"))).alias(
+            "minute"
+        ),
+    )
+    j = grid.join(m, ["symbol", "minute"], "left").select(
+        "symbol",
+        "minute",
+        "close_cents",
+        F.col("close_cents").isNull().alias("is_gap"),
+    )
+    w = (
+        W.partitionBy("symbol")
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "symbol",
+        F.col("minute").alias("minute_start"),
+        F.last("close_cents", ignorenulls=True)
+        .over(w)
+        .cast("long")
+        .alias("close_cents"),
+        "is_gap",
+    )
