@@ -134,12 +134,25 @@ HEADLINE = [
     # r04: cross-exchange NBBO consolidation + minute-grid gap fill
     "nbbo_consolidated_1m",
     "candles_gap_fill",
-    # r04: the two stateful-streaming driver rows — each run restarts the
-    # availableNow job(s) from scratch (fresh checkpoint), so these time
-    # the full state-store lifecycle, not a warmed plan
+    # r04: the two stateful-streaming driver rows
     "frontier_seen_batch_replay",
     "frontier_stream_resume",
 ]
+
+# Queries whose spark_fn RUNS a Structured Streaming job and returns its
+# (localCheckpointed) result: re-draining that cached frame on passes 2-3
+# would record a ~0.02s "warm" that measures nothing. These rebuild on
+# EVERY pass — each rep restarts the availableNow job from a fresh
+# checkpoint, so min-of-3 times the full state-store lifecycle. (Caught
+# in r4: the first r4 detail artifact recorded 0.02-0.03s warms for all
+# five; their cold column carried the real 12-34s cost.)
+STREAMING = {
+    "stream_candles_1m",
+    "stream_book_reconstruct",
+    "stream_book_resync",
+    "frontier_seen_batch_replay",
+    "frontier_stream_resume",
+}
 
 
 def run(sf_dir: str, cores: int) -> dict:
@@ -184,7 +197,7 @@ def run(sf_dir: str, cores: int) -> dict:
         load_per_pass.append(open("/proc/loadavg").read().split()[0])
         for name in names:
             t0 = time.perf_counter()
-            if rep == 0:
+            if rep == 0 or name in STREAMING:
                 dfs[name] = qs[name].spark_fn(spark, sf_dir)
             dfs[name].write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)

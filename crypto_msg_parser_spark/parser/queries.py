@@ -2568,8 +2568,9 @@ def _sql_stream_book_oracle() -> str:
     "stream_book_reconstruct",
     oracle=_sql_stream_book_oracle(),
     doc="STREAMING order-book maintenance through the real parse plan "
-    "(the live twin of l2_book_reconstruct; binance_all.rs depth "
-    "semantics, qty-0 deletes): 3-micro-batch file stream of wire "
+    "(the live twin of l2_book_reconstruct; binance_all.rs:198-238 "
+    "depth semantics carried into OrderBookMsg seq ids, "
+    "crypto-message/src/lib.rs:117-121; qty-0 deletes): 3-micro-batch file stream of wire "
     "depthUpdate messages -> full parse_l2 (from_json, dict broadcasts, "
     "central snapshot sort — all JVM-side) -> one explode to level rows "
     "-> per-symbol book state in applyInPandasWithState, merged by "
@@ -2935,7 +2936,12 @@ def _sql_resync_oracle() -> str:
     "stream_book_resync",
     oracle=_sql_resync_oracle(),
     doc="STREAMING sequence-gap recovery — the reference client's "
-    "binance depth resync protocol as a keyed state machine: apply a "
+    "binance depth resync protocol (the pu/prev_seq_id chain the "
+    "reference carries for exactly this purpose: binance_all.rs:68 "
+    "documents pu as the previous event's u, parse_l2 maps it to "
+    "prev_seq_id at binance_all.rs:216, and OrderBookMsg persists both "
+    "ids through every codec, crypto-message/src/lib.rs:117-121) as a "
+    "keyed state machine: apply a "
     "delta only when prev_seq_id == held last_seq; on mismatch DESYNC "
     "(discard deltas, count them); accept a snapshot (prev_seq_id "
     "NULL, seq_id > last_seq) by REPLACING the book and re-chaining. A "
