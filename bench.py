@@ -134,6 +134,9 @@ HEADLINE = [
     # r04: cross-exchange NBBO consolidation + minute-grid gap fill
     "nbbo_consolidated_1m",
     "candles_gap_fill",
+    # r04: Lee-Ready trade-sign classification (as-of quote carry + tick
+    # rule fallback, integer cents)
+    "trade_sign_leeready_1m",
     # r04: the two stateful-streaming driver rows
     "frontier_seen_batch_replay",
     "frontier_stream_resume",

@@ -3466,3 +3466,172 @@ def candles_gap_fill(spark, sf_dir):
         .alias("close_cents"),
         "is_gap",
     )
+
+
+@query(
+    "trade_sign_leeready_1m",
+    oracle=f"""
+    WITH q1 AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 - 500 AS qts,
+             CAST(round(round(l_extendedprice - 1
+               + CASE l_orderkey % 3 WHEN 1 THEN 0.01
+                      WHEN 2 THEN -0.01 ELSE 0.0 END, 2) * 100) AS BIGINT)
+             + CAST(round(round(l_extendedprice + 1
+               + CASE l_orderkey % 3 WHEN 1 THEN 0.01
+                      WHEN 2 THEN -0.01 ELSE 0.0 END, 2) * 100) AS BIGINT)
+               AS mid_x2
+      FROM lineitem WHERE l_linenumber = 1),
+    t AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT) AS seq
+      FROM lineitem),
+    carried_src AS (
+      SELECT symbol, qts AS ts, 0 AS kind, CAST(NULL AS BIGINT) AS price_cents,
+             CAST(NULL AS BIGINT) AS qty_deci, mid_x2 AS seq,
+             mid_x2 FROM q1
+      UNION ALL
+      SELECT symbol, ts, 1, price_cents, qty_deci, seq,
+             CAST(NULL AS BIGINT) FROM t),
+    carried AS (
+      SELECT symbol, ts, kind, price_cents, qty_deci, seq,
+             last_value(mid_x2 IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY ts, kind, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid_x2
+      FROM carried_src),
+    trades AS (SELECT * FROM carried WHERE kind = 1),
+    ticked AS (
+      SELECT symbol, ts, seq, price_cents, qty_deci, mid_x2,
+             CASE WHEN price_cents
+                    > lag(price_cents) OVER w THEN CAST(1 AS BIGINT)
+                  WHEN price_cents
+                    < lag(price_cents) OVER w THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(NULL AS BIGINT) END AS raw_tick
+      FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
+    signed AS (
+      SELECT symbol, ts, price_cents, qty_deci,
+             CASE WHEN price_cents * 2 > mid_x2 THEN CAST(1 AS BIGINT)
+                  WHEN price_cents * 2 < mid_x2 THEN CAST(-1 AS BIGINT)
+                  ELSE last_value(raw_tick IGNORE NULLS) OVER (
+                    PARTITION BY symbol ORDER BY ts, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  END AS sgn
+      FROM ticked)
+    SELECT symbol, ts - ts % 60000 AS minute_start,
+           CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_buy,
+           CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n_sell,
+           CAST(count(*) FILTER (WHERE sgn IS NULL) AS BIGINT) AS n_unknown,
+           COALESCE(CAST(sum(sgn * qty_deci) AS BIGINT), 0)
+             AS signed_qty_deci
+    FROM signed GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="Lee-Ready trade-sign classification (Lee & Ready 1991, the "
+    "standard aggressor-side inference when the feed carries no taker "
+    "flag — several reference arms genuinely don't, e.g. dYdX/bitmex "
+    "side-less frames): every trade joins AS-OF backward to the most "
+    "recent quote midpoint of its symbol (union quotes+trades, one "
+    "ordered window carrying last(mid ignorenulls) — the same merge "
+    "the reference consumer does by interleaving ws channels), signs "
+    "above/below mid in integer cents, and falls back to the tick rule "
+    "at the midpoint (last non-zero price-change direction, a second "
+    "ignorenulls carry; still-unknown leading trades stay NULL and are "
+    "reported, not guessed). Quotes are deterministically skewed "
+    "±1 cent (and unskewed every third order, forcing the tick-rule "
+    "path) and sit 500 ms before their order's trades, so every branch "
+    "runs at every SF. Output = per symbol-minute signed order flow in "
+    "exact integer deci-units. Scale shape: one union (no shuffle), "
+    "one shuffle to the symbol partitioning shared by BOTH carry "
+    "windows and the tick lag, then a partial-agg minute rollup — the "
+    "windows order symbol-local event streams, the same bounded frames "
+    "the book operators use.",
+)
+def trade_sign_leeready_1m(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    skew = (
+        F.when(F.col("l_orderkey") % 3 == 1, F.lit(0.01))
+        .when(F.col("l_orderkey") % 3 == 2, F.lit(-0.01))
+        .otherwise(F.lit(0.0))
+    )
+    q1 = li.filter(F.col("l_linenumber") == 1).select(
+        _spot_symbol().alias("symbol"),
+        (F.lit(_BASE_TS) + F.col("l_orderkey") * 997 - 500).alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit(None).cast("long").alias("qty_deci"),
+        # quote seq = the mid value itself: duplicate (l_orderkey,
+        # l_linenumber=1) rows put TWO same-symbol quotes on one ts
+        # (measured: 237/6000 downstream trades flipped between engines
+        # on that untotalled order); sorting the tie by mid_x2 makes the
+        # carry deterministic in both engines, and equal-mid ties are
+        # output-identical
+        (cents(F.round(p - 1 + skew, 2)) + cents(F.round(p + 1 + skew, 2)))
+        .alias("seq"),
+        (cents(F.round(p - 1 + skew, 2)) + cents(F.round(p + 1 + skew, 2)))
+        .alias("mid_x2"),
+    )
+    t = li.select(
+        _spot_symbol().alias("symbol"),
+        (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts"),
+        F.lit(1).alias("kind"),
+        cents(F.round(p, 2)).alias("price_cents"),
+        F.round(F.round("l_quantity", 1) * 10).cast("long").alias("qty_deci"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round(p, 2))
+        ).alias("seq"),
+        F.lit(None).cast("long").alias("mid_x2"),
+    )
+    merged = q1.unionByName(t)
+    w_asof = (
+        W.partitionBy("symbol")
+        .orderBy("ts", "kind", "seq")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    asof = merged.select(
+        "symbol", "ts", "kind", "price_cents", "qty_deci", "seq",
+        F.last("mid_x2", ignorenulls=True).over(w_asof).alias("mid_x2"),
+    )
+    trades = asof.filter(F.col("kind") == 1)
+    w_tick = W.partitionBy("symbol").orderBy("ts", "seq")
+    prev = F.lag("price_cents").over(w_tick)
+    ticked = trades.select(
+        "symbol", "ts", "seq", "price_cents", "qty_deci", "mid_x2",
+        F.when(F.col("price_cents") > prev, F.lit(1).cast("long"))
+        .when(F.col("price_cents") < prev, F.lit(-1).cast("long"))
+        .alias("raw_tick"),
+    )
+    # the tick-rule carry follows TRADE order — the same total (ts, seq)
+    # order the lag used; anything weaker is engine-ambiguous on same-ts
+    # duplicate trades
+    w_carry = (
+        W.partitionBy("symbol")
+        .orderBy("ts", "seq")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    signed = ticked.select(
+        "symbol", "ts", "price_cents", "qty_deci",
+        F.when(F.col("price_cents") * 2 > F.col("mid_x2"), F.lit(1).cast("long"))
+        .when(F.col("price_cents") * 2 < F.col("mid_x2"), F.lit(-1).cast("long"))
+        .otherwise(F.last("raw_tick", ignorenulls=True).over(w_carry))
+        .alias("sgn"),
+    )
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute_start")
+    return signed.groupBy("symbol", minute).agg(
+        F.count(F.when(F.col("sgn") == 1, 1)).cast("long").alias("n_buy"),
+        F.count(F.when(F.col("sgn") == -1, 1)).cast("long").alias("n_sell"),
+        F.count(F.when(F.col("sgn").isNull(), 1)).cast("long").alias("n_unknown"),
+        F.coalesce(F.sum(F.col("sgn") * F.col("qty_deci")), F.lit(0))
+        .cast("long")
+        .alias("signed_qty_deci"),
+    )
