@@ -137,6 +137,9 @@ HEADLINE = [
     # r04: Lee-Ready trade-sign classification (as-of quote carry + tick
     # rule fallback, integer cents)
     "trade_sign_leeready_1m",
+    # r04: integer-exact rolling SMA/Bollinger + Kyle's-lambda impact
+    "candles_sma_bands_5m",
+    "price_impact_kyle_lambda",
     # r04: the two stateful-streaming driver rows
     "frontier_seen_batch_replay",
     "frontier_stream_resume",

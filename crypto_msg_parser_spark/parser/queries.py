@@ -3635,3 +3635,223 @@ def trade_sign_leeready_1m(spark, sf_dir):
         .cast("long")
         .alias("signed_qty_deci"),
     )
+
+
+@query(
+    "candles_sma_bands_5m",
+    oracle=f"""
+    WITH trades AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT) AS seq
+      FROM lineitem),
+    m AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             arg_max(price_cents, seq) AS close_cents
+      FROM trades GROUP BY symbol, ts - ts % 60000),
+    w AS (
+      SELECT symbol, minute, close_cents,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(close_cents) OVER win AS BIGINT) AS s,
+             CAST(sum(close_cents * close_cents) OVER win AS BIGINT) AS s2
+      FROM m WINDOW win AS (
+        PARTITION BY symbol ORDER BY minute
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT symbol, minute AS minute_start, close_cents, n,
+           s AS sum_cents, n * s2 - s * s AS var_num,
+           s / CAST(n AS DOUBLE) / 100.0 AS sma_usd,
+           sqrt(n * s2 - s * s) / n / 100.0 AS band_halfwidth_usd
+    FROM w
+    """,
+    doc="5-minute simple moving average + Bollinger-style band half-width "
+    "over the minute closes, float-drift-free: the rolling window "
+    "carries only integer sums (n, sum of cents, sum of squared cents), "
+    "the population variance numerator n*s2 - s^2 stays an exact "
+    "BIGINT, and the two reported doubles (sma, sqrt-based half-width) "
+    "are short IEEE chains on those identical integers — the classic "
+    "rolling-stddev float accumulation is never done in floating "
+    "point. Scale shape: one (symbol, minute) shuffle then a 5-row "
+    "bounded rows-frame per symbol over MINUTES; the frame never "
+    "buffers more than 5 values regardless of corpus size.",
+)
+def candles_sma_bands_5m(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round("l_extendedprice", 2))
+        ).alias("seq"),
+    )
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute")
+    m = trades.groupBy("symbol", minute).agg(
+        F.max_by("price_cents", "seq").alias("close_cents")
+    )
+    win = W.partitionBy("symbol").orderBy("minute").rowsBetween(-4, 0)
+    n = F.count(F.lit(1)).over(win).cast("long")
+    s = F.sum("close_cents").over(win).cast("long")
+    s2 = F.sum(F.col("close_cents") * F.col("close_cents")).over(win).cast(
+        "long"
+    )
+    w = m.select(
+        "symbol",
+        F.col("minute").alias("minute_start"),
+        "close_cents",
+        n.alias("n"),
+        s.alias("sum_cents"),
+        (n * s2 - s * s).alias("var_num"),
+    )
+    return w.select(
+        "symbol", "minute_start", "close_cents", "n", "sum_cents", "var_num",
+        (F.col("sum_cents") / F.col("n").cast("double") / F.lit(100.0))
+        .alias("sma_usd"),
+        (F.sqrt(F.col("var_num")) / F.col("n") / F.lit(100.0))
+        .alias("band_halfwidth_usd"),
+    )
+
+
+@query(
+    "price_impact_kyle_lambda",
+    oracle=f"""
+    WITH q1 AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 - 500 AS qts,
+             CAST(round(round(l_extendedprice - 1
+               + CASE l_orderkey % 3 WHEN 1 THEN 0.01
+                      WHEN 2 THEN -0.01 ELSE 0.0 END, 2) * 100) AS BIGINT)
+             + CAST(round(round(l_extendedprice + 1
+               + CASE l_orderkey % 3 WHEN 1 THEN 0.01
+                      WHEN 2 THEN -0.01 ELSE 0.0 END, 2) * 100) AS BIGINT)
+               AS mid_x2
+      FROM lineitem WHERE l_linenumber = 1),
+    t AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT) AS seq
+      FROM lineitem),
+    carried_src AS (
+      SELECT symbol, qts AS ts, 0 AS kind, CAST(NULL AS BIGINT) AS price_cents,
+             CAST(NULL AS BIGINT) AS qty_deci, mid_x2 AS seq, mid_x2 FROM q1
+      UNION ALL
+      SELECT symbol, ts, 1, price_cents, qty_deci, seq,
+             CAST(NULL AS BIGINT) FROM t),
+    carried AS (
+      SELECT symbol, ts, kind, price_cents, qty_deci, seq,
+             last_value(mid_x2 IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY ts, kind, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid_x2
+      FROM carried_src),
+    trades AS (SELECT * FROM carried WHERE kind = 1),
+    ticked AS (
+      SELECT symbol, ts, seq, price_cents, qty_deci, mid_x2,
+             CASE WHEN price_cents
+                    > lag(price_cents) OVER w THEN CAST(1 AS BIGINT)
+                  WHEN price_cents
+                    < lag(price_cents) OVER w THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(NULL AS BIGINT) END AS raw_tick
+      FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
+    signed AS (
+      SELECT symbol, ts, price_cents, qty_deci,
+             CASE WHEN price_cents * 2 > mid_x2 THEN CAST(1 AS BIGINT)
+                  WHEN price_cents * 2 < mid_x2 THEN CAST(-1 AS BIGINT)
+                  ELSE last_value(raw_tick IGNORE NULLS) OVER (
+                    PARTITION BY symbol ORDER BY ts, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  END AS sgn
+      FROM ticked),
+    flow AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             COALESCE(CAST(sum(sgn * qty_deci) AS BIGINT), 0) AS x
+      FROM signed GROUP BY symbol, ts - ts % 60000),
+    m AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             arg_max(price_cents, seq) AS close_cents
+      FROM t GROUP BY symbol, ts - ts % 60000),
+    joined AS (
+      SELECT f.symbol, f.minute, f.x,
+             m.close_cents - lag(m.close_cents) OVER (
+               PARTITION BY f.symbol ORDER BY f.minute) AS y
+      FROM flow f JOIN m ON f.symbol = m.symbol AND f.minute = m.minute)
+    SELECT symbol,
+           CAST(count(*) AS BIGINT) AS n_minutes,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CASE WHEN sum(x * x) = 0 THEN NULL
+                ELSE sum(x * y) / CAST(sum(x * x) AS DOUBLE) END AS lambda
+    FROM joined WHERE y IS NOT NULL GROUP BY symbol
+    """,
+    doc="Kyle's lambda — per-symbol price impact, the through-origin "
+    "regression of minute price changes on minute signed order flow "
+    "(Kyle 1985): x = Lee-Ready signed volume in integer deci-units "
+    "(the trade_sign_leeready_1m chain verbatim), y = close-to-close "
+    "cents diff on the same minute grid, lambda = sum(xy)/sum(x^2) "
+    "with BOTH regression sums exact associative BIGINTs — the final "
+    "lambda is one integer-to-double division, so partial-agg order "
+    "cannot drift it; a zero-flow symbol reports NULL instead of a "
+    "divide artifact. Scale shape: inherits Lee-Ready's single symbol "
+    "shuffle, adds one (symbol, minute) equi-join AQE plans and a "
+    "per-symbol lag over bounded MINUTE frames, then a 4-row final "
+    "partial agg.",
+)
+def price_impact_kyle_lambda(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    flow = trade_sign_leeready_1m(spark, sf_dir).select(
+        "symbol",
+        F.col("minute_start").alias("minute"),
+        F.col("signed_qty_deci").alias("x"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts")
+    trades = li.select(
+        _spot_symbol().alias("symbol"),
+        ts,
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round("l_extendedprice", 2))
+        ).alias("seq"),
+    )
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute")
+    m = trades.groupBy("symbol", minute).agg(
+        F.max_by("price_cents", "seq").alias("close_cents")
+    )
+    w = W.partitionBy("symbol").orderBy("minute")
+    joined = flow.join(m, ["symbol", "minute"]).select(
+        "symbol",
+        "minute",
+        "x",
+        (F.col("close_cents") - F.lag("close_cents").over(w)).alias("y"),
+    )
+    sxx = F.sum(F.col("x") * F.col("x"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return (
+        joined.filter(F.col("y").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_minutes"),
+            sxy.cast("long").alias("sxy"),
+            sxx.cast("long").alias("sxx"),
+            F.when(sxx == 0, F.lit(None).cast("double"))
+            .otherwise(sxy / sxx.cast("double"))
+            .alias("lambda"),
+        )
+    )
