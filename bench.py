@@ -140,6 +140,9 @@ HEADLINE = [
     # r04: integer-exact rolling SMA/Bollinger + Kyle's-lambda impact
     "candles_sma_bands_5m",
     "price_impact_kyle_lambda",
+    # r04: streaming consolidated tape (two parse arms unioned in ONE
+    # streaming plan, per-pair venue-freshest state)
+    "stream_nbbo_tape",
     # r04: the two stateful-streaming driver rows
     "frontier_seen_batch_replay",
     "frontier_stream_resume",
@@ -153,6 +156,7 @@ HEADLINE = [
 # in r4: the first r4 detail artifact recorded 0.02-0.03s warms for all
 # five; their cold column carried the real 12-34s cost.)
 STREAMING = {
+    "stream_nbbo_tape",
     "stream_candles_1m",
     "stream_book_reconstruct",
     "stream_book_resync",

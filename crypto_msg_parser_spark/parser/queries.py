@@ -3855,3 +3855,291 @@ def price_impact_kyle_lambda(spark, sf_dir):
             .alias("lambda"),
         )
     )
+
+
+# ---------------------------------------- streaming consolidated tape
+#
+# The reference's LIVE topology: one ws feed per exchange, one consumer
+# consolidating them. Here BOTH venues' wire messages travel in the same
+# micro-batch files; the streaming plan BRANCHES into the binance and
+# kraken parse arms (each filtering its own venue tag) and unions the
+# two BBO outputs back into one stream — the multi-arm union topology
+# none of the single-arm streaming rows exercise — before a per-pair
+# keyed state holds each venue's freshest quote (LWW by timestamp with
+# a deterministic tie key) across batches.
+
+
+def _sql_stream_nbbo_oracle() -> str:
+    # final NBBO over ALL quotes, venue-last-quote first (the state holds
+    # one freshest quote per venue, NOT a global max — a venue whose last
+    # quote is WORSE than an earlier one must surface the later quote)
+    return f"""
+    WITH b AS (
+      SELECT {_SQL_SPOT_PAIR} AS pair, 'binance' AS ex,
+             l_orderkey AS ts,
+             l_orderkey * 10 + l_linenumber AS tie,
+             CAST(round(round(l_extendedprice - 1, 2) * 100) AS BIGINT)
+               AS bid_cents,
+             CAST(round(round(l_extendedprice + 1, 2) * 100) AS BIGINT)
+               AS ask_cents
+      FROM lineitem),
+    k AS (
+      SELECT CASE l_partkey % 4 WHEN 0 THEN 'BTC/USDT'
+                  WHEN 1 THEN 'ETH/USDT' WHEN 2 THEN 'DOGE/USDT'
+                  ELSE 'BTC/USDT' END AS pair, 'kraken' AS ex,
+             (l_orderkey // 1000) * 1000 AS ts,
+             l_orderkey * 10 + l_linenumber AS tie,
+             CAST(round(round(l_extendedprice - 1
+               + CASE WHEN l_orderkey % 2 = 0 THEN 0.01 ELSE -0.01 END,
+               2) * 100) AS BIGINT) AS bid_cents,
+             CAST(round(round(l_extendedprice + 1
+               - CASE WHEN l_orderkey % 2 = 0 THEN 0.01 ELSE -0.01 END,
+               2) * 100) AS BIGINT) AS ask_cents
+      FROM lineitem),
+    q AS (SELECT * FROM b UNION ALL SELECT * FROM k),
+    freshest AS (
+      SELECT pair, ex,
+             arg_max(bid_cents, ts * 100000000 + tie) AS bid_cents,
+             arg_max(ask_cents, ts * 100000000 + tie) AS ask_cents,
+             CAST(count(*) AS BIGINT) AS n_seen
+      FROM q GROUP BY pair, ex)
+    SELECT pair,
+           max(bid_cents) AS nbbo_bid_cents,
+           arg_max(ex, bid_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS bid_venue,
+           min(ask_cents) AS nbbo_ask_cents,
+           arg_min(ex, ask_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS ask_venue,
+           CAST(sum(n_seen) AS BIGINT) AS n_quotes_seen
+    FROM freshest GROUP BY pair
+    """
+
+
+@query(
+    "stream_nbbo_tape",
+    oracle=_sql_stream_nbbo_oracle(),
+    doc="STREAMING consolidated tape — the reference's live multi-feed "
+    "topology in one plan: both venues' wire messages arrive in the "
+    "same micro-batch files, the stream BRANCHES into the binance "
+    "bookTicker and kraken spread parse arms (each filters its venue "
+    "tag) and their BBO outputs union back into one stream — the "
+    "multi-arm streaming union no single-arm row exercises — then a "
+    "per-pair keyed state holds each venue's FRESHEST quote (LWW by "
+    "timestamp + deterministic tie key) across micro-batches and "
+    "emits the consolidated NBBO after every batch. The result keeps "
+    "each pair's LAST emission (max cumulative quote count — monotone "
+    "per key, so the selection is batch-alignment-agnostic), and the "
+    "oracle recomputes the final per-venue freshest quotes and their "
+    "consolidation closed-form: a state that loses a venue's quote "
+    "across batches, takes a global best instead of venue-freshest, "
+    "or drops one branch of the union fails. Venue attribution uses "
+    "the integer cents*2+venue-bit key (tie-free both engines). Scale "
+    "shape: two parse branches over the same scan, one stream union "
+    "(no shuffle), one shuffle to the pair-keyed state; state is two "
+    "quotes per pair — constant.",
+)
+def stream_nbbo_tape(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from crypto_msg_parser_spark.parser import kraken
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tie = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    p = F.col("l_extendedprice")
+
+    bmsg = F.format_string(
+        '{"stream":"%s@bookTicker","data":{"u":%d,"s":"%s",'
+        '"b":"%.2f","B":"%.1f","a":"%.2f","A":"%.1f"}}',
+        F.lower(_spot_symbol()),
+        tie,
+        _spot_symbol(),
+        F.round(p - 1, 2),
+        F.col("l_quantity"),
+        F.round(p + 1, 2),
+        F.col("l_quantity") + 1,
+    )
+    delta = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0.01)).otherwise(
+        F.lit(-0.01)
+    )
+    kpair = F.col("l_partkey") % 4
+    ksym = (
+        F.when(kpair == 0, "XBT/USDT")
+        .when(kpair == 1, "ETH/USDT")
+        .when(kpair == 2, "XDG/USDT")
+        .otherwise("XBT/USDT")
+    )
+    # the spread frame's bidVol carries the tie key (tie*0.1, one
+    # decimal): kraken's second-resolution ts collapses ~1000 orderkeys
+    # onto one timestamp, and the arm surfaces no event id, so the
+    # freshest-quote pick needs a key that SURVIVES parse_bbo —
+    # bid_quantity_base*10 recovers it exactly
+    kmsg = F.format_string(
+        '[340,["%.2f","%.2f","%d.000000","%.1f","%.1f"],"spread","%s"]',
+        F.round(p - 1 + delta, 2),
+        F.round(p + 1 - delta, 2),
+        F.lit(_SEC_BASE) + F.expr("l_orderkey DIV 1000"),
+        tie.cast("double") * 0.1,
+        F.col("l_quantity") + 1,
+        ksym,
+    )
+    both = li.select(
+        F.lit("spot").alias("market_type"),
+        (F.lit(_BASE_TS) + F.col("l_orderkey")).alias("received_at"),
+        tie.alias("tie"),
+        (F.col("l_orderkey") % 3).cast("int").alias("batch_id"),
+        F.lit("binance").alias("venue"),
+        bmsg.alias("msg"),
+    ).unionByName(
+        li.select(
+            F.lit("spot").alias("market_type"),
+            F.lit(None).cast("long").alias("received_at"),
+            tie.alias("tie"),
+            (F.col("l_orderkey") % 3).cast("int").alias("batch_id"),
+            F.lit("kraken").alias("venue"),
+            kmsg.alias("msg"),
+        )
+    )
+
+    out_ddl = (
+        "pair string, nbbo_bid_cents bigint, bid_venue string, "
+        "nbbo_ask_cents bigint, ask_venue string, n_quotes_seen bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (
+                b_ts, b_bid, b_ask, k_ts, k_bid, k_ask, n_seen,
+            ) = state.get
+        else:
+            b_ts = k_ts = -1
+            b_bid = b_ask = k_bid = k_ask = None
+            n_seen = 0
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                n_seen += 1
+                okey = int(r.okey)
+                if r.ex == "binance":
+                    if okey > b_ts:
+                        b_ts, b_bid, b_ask = okey, int(r.bid_cents), int(r.ask_cents)
+                else:
+                    if okey > k_ts:
+                        k_ts, k_bid, k_ask = okey, int(r.bid_cents), int(r.ask_cents)
+        state.update((b_ts, b_bid, b_ask, k_ts, k_bid, k_ask, n_seen))
+        quotes = []
+        if b_bid is not None:
+            quotes.append(("binance", b_bid, b_ask))
+        if k_bid is not None:
+            quotes.append(("kraken", k_bid, k_ask))
+        best_bid = max(q[1] * 2 + (q[0] == "kraken") for q in quotes)
+        best_ask = min(q[2] * 2 + (q[0] == "kraken") for q in quotes)
+        yield pd.DataFrame(
+            [
+                {
+                    "pair": key[0],
+                    "nbbo_bid_cents": best_bid // 2,
+                    "bid_venue": "kraken" if best_bid % 2 else "binance",
+                    "nbbo_ask_cents": best_ask // 2,
+                    "ask_venue": "kraken" if best_ask % 2 else "binance",
+                    "n_quotes_seen": n_seen,
+                }
+            ]
+        )
+
+    src = tempfile.mkdtemp(prefix="nbbo_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="nbbo_stream_ckpt_")
+    name = f"stream_nbbo_{uuid.uuid4().hex[:12]}"
+    try:
+        for i in range(3):
+            d = tempfile.mkdtemp(prefix="nbbo_stream_part_")
+            both.filter(F.col("batch_id") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            (pf,) = glob.glob(f"{d}/part-*.parquet")
+            dest = os.path.join(src, f"{i}.parquet")
+            shutil.move(pf, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "market_type string, received_at long, tie long, "
+                "batch_id int, venue string, msg string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        bz = binance.parse_bbo(
+            stream.filter(F.col("venue") == "binance")
+        ).select(
+            "pair",
+            F.lit("binance").alias("ex"),
+            "timestamp",
+            F.col("id").cast("long").alias("tie"),
+            cents(F.col("bid_price")).alias("bid_cents"),
+            cents(F.col("ask_price")).alias("ask_cents"),
+        )
+        kz = kraken.parse_bbo(
+            stream.filter(F.col("venue") == "kraken")
+        ).select(
+            "pair",
+            F.lit("kraken").alias("ex"),
+            "timestamp",
+            # recover the tie key smuggled through bidVol (see kmsg)
+            F.round(F.col("bid_quantity_base") * 10).cast("long").alias("tie"),
+            cents(F.col("bid_price")).alias("bid_cents"),
+            cents(F.col("ask_price")).alias("ask_cents"),
+        )
+        quotes = bz.unionByName(kz).select(
+            "pair",
+            "ex",
+            "bid_cents",
+            "ask_cents",
+            # rebase to the epoch origin before widening: raw epoch-ms
+            # times 1e8 overflows int64
+            (
+                (F.col("timestamp") - F.lit(_BASE_TS))
+                * F.lit(100000000).cast("long")
+                + F.col("tie")
+            ).alias("okey"),
+        )
+        tape = quotes.groupBy("pair").applyInPandasWithState(
+            update,
+            outputStructType=out_ddl,
+            stateStructType=(
+                "b_ts bigint, b_bid bigint, b_ask bigint, "
+                "k_ts bigint, k_bid bigint, k_ask bigint, n_seen bigint"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        qh = (
+            tape.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qh.awaitTermination(600):
+            qh.stop()
+            raise RuntimeError("stream_nbbo_tape did not drain in 600s")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    emissions = spark.table(name).localCheckpoint(eager=True)
+    # keep each pair's LAST emission: n_quotes_seen is monotone per key,
+    # so this selection is batch-alignment-agnostic
+    return emissions.groupBy("pair").agg(
+        F.max_by("nbbo_bid_cents", "n_quotes_seen").alias("nbbo_bid_cents"),
+        F.max_by("bid_venue", "n_quotes_seen").alias("bid_venue"),
+        F.max_by("nbbo_ask_cents", "n_quotes_seen").alias("nbbo_ask_cents"),
+        F.max_by("ask_venue", "n_quotes_seen").alias("ask_venue"),
+        F.max("n_quotes_seen").alias("n_quotes_seen"),
+    )
