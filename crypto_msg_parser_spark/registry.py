@@ -81,6 +81,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # inspect.unwrap -> the real plan builder
         _REGISTRY[name] = Query(name=name, spark_fn=wrapped, oracle=oracle, doc=doc)
         return fn
 

@@ -538,3 +538,30 @@ def test_resync_protocol_discriminates_ignore_gap_client(spark):
         "punched hole left no trace in the final book — the resync row "
         "has lost its discriminating power"
     )
+
+
+def test_bench_streaming_set_covers_all_streaming_headline_rows():
+    """Regression guard for the r4 fake-warm bug: a streaming query whose
+    spark_fn runs a writeStream job returns a localCheckpointed result, so
+    bench.py must REBUILD it every pass (bench.STREAMING) or min-of-3
+    records a ~0.02s drain of a cached frame. Detect streaming queries
+    structurally (their source references writeStream in the function
+    body) and pin that every such HEADLINE row is in STREAMING — and that
+    STREAMING lists only headline rows that actually stream."""
+    import inspect
+
+    import bench
+    from crypto_msg_parser_spark.registry import all_queries
+
+    qs = all_queries()
+    streaming_headline = set()
+    for name in bench.HEADLINE:
+        if name not in qs:
+            continue
+        src = inspect.getsource(inspect.unwrap(qs[name].spark_fn))
+        if "writeStream" in src:
+            streaming_headline.add(name)
+    assert streaming_headline == set(bench.STREAMING), (
+        f"bench.STREAMING out of sync: headline streaming rows "
+        f"{sorted(streaming_headline)} vs declared {sorted(bench.STREAMING)}"
+    )
