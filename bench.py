@@ -208,6 +208,19 @@ def run(sf_dir: str, cores: int) -> dict:
         for name in names:
             t0 = time.perf_counter()
             if rep == 0 or name in STREAMING:
+                # STREAMING rebuild: release the previous pass's frame
+                # first — streaming spark_fns return an eagerly
+                # localCheckpointed, sink-view-dropped frame (see
+                # session.finalize_memory_sink), so unpersist frees the
+                # pinned RDD blocks instead of accumulating reps x rows
+                # for the session's life (ADVICE r4 #4). Outside the
+                # timed window: cleanup is not part of the query.
+                if name in dfs:
+                    try:
+                        dfs[name].unpersist()
+                    except Exception:
+                        pass
+                t0 = time.perf_counter()
                 dfs[name] = qs[name].spark_fn(spark, sf_dir)
             dfs[name].write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)

@@ -17,6 +17,7 @@ from crypto_msg_parser_spark.crawl.canonicalize import (
 from crypto_msg_parser_spark.crawl.scheduler import schedule
 from crypto_msg_parser_spark.functions.scalar import stable_hash64
 from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.session import finalize_memory_sink
 from crypto_msg_parser_spark.sources.testdata import load_table
 
 # messy URL synthesis shared by both engines: mixed case, default port,
@@ -472,7 +473,9 @@ def frontier_seen_batch_replay(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.sql(f"SELECT canonical, url_hash FROM {name}")
+    return finalize_memory_sink(
+        spark.table(name).select("canonical", "url_hash"), name
+    )
 
 
 _SQL_DUP_HOST = _SQL_HOST.replace("p_partkey", "(p_partkey % 211)")
@@ -559,7 +562,9 @@ def crawl_stream_docs_replay(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    docs = spark.sql(f"SELECT doc_id, spans FROM {name}")
+    docs = finalize_memory_sink(
+        spark.table(name).select("doc_id", "spans"), name
+    )
     ex = docs.select("doc_id", F.explode("spans").alias("s"))
     item = F.struct(
         F.col("s.offset").alias("o"),
@@ -1115,8 +1120,11 @@ def stream_rate_limit(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.sql(
-        f"SELECT host, url, url_hash, admit_seq, allowed FROM {name}"
+    return finalize_memory_sink(
+        spark.table(name).select(
+            "host", "url", "url_hash", "admit_seq", "allowed"
+        ),
+        name,
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark.parser import binance
 from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.session import finalize_memory_sink
 from crypto_msg_parser_spark.sources.testdata import load_table
 
 
@@ -2490,7 +2491,7 @@ def stream_candles_1m(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).localCheckpoint(eager=True)
+    return finalize_memory_sink(spark.table(name), name)
 
 
 # ------------------------------------- streaming L2 book maintenance
@@ -2511,12 +2512,17 @@ _BOOK_EPOCHS = 3
 
 
 def _sql_stream_book_oracle() -> str:
+    # dedupe duplicate (l_orderkey, l_linenumber) rows identically to the
+    # generator (per-column min) so seq is unique per wire message
     src = (
         f"src AS (SELECT {_SQL_SPOT_SYMBOL} AS symbol, "
         "l_orderkey*100 + l_linenumber AS seq, "
         "(l_orderkey // 7) % 3 AS batch_id, "
         "CAST(l_quantity AS DOUBLE) AS q "
-        "FROM lineitem WHERE l_orderkey % 7 = 0)"
+        "FROM (SELECT l_orderkey, l_linenumber, "
+        "min(l_quantity) AS l_quantity, min(l_partkey) AS l_partkey "
+        "FROM lineitem WHERE l_orderkey % 7 = 0 "
+        "GROUP BY l_orderkey, l_linenumber))"
     )
     # the four grid levels per message; qty 0 when seq % 10 = 3 (delete)
     lv_arms = []
@@ -2598,7 +2604,22 @@ def stream_book_reconstruct(spark, sf_dir):
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    # The synthetic lineitem carries duplicate (l_orderkey, l_linenumber)
+    # pairs with differing l_quantity; seq = orderkey*100 + linenumber
+    # would assign ONE sequence id to two depth messages with different
+    # level qtys, making the LWW(seq) winner engine-/arrival-dependent.
+    # Dedupe the source rows deterministically (per-column min) before
+    # message generation — the oracle dedupes identically — so every
+    # wire message owns a unique seq at every SF by construction.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_quantity").alias("l_quantity"),
+            F.min("l_partkey").alias("l_partkey"),
+        )
+    )
     seq = (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long")
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     q = F.col("l_quantity")
@@ -2758,7 +2779,7 @@ def stream_book_reconstruct(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).localCheckpoint(eager=True)
+    return finalize_memory_sink(spark.table(name), name)
 
 
 @query(
@@ -3233,7 +3254,7 @@ def stream_book_resync(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).localCheckpoint(eager=True)
+    return finalize_memory_sink(spark.table(name), name)
 
 
 @query(
@@ -3405,13 +3426,17 @@ def nbbo_consolidated_1m(spark, sf_dir):
     "repair every chart/backtest consumer needs (sparse trading leaves "
     "minutes with no candle; the filled series carries the last known "
     "close forward and flags synthetic rows): per symbol, the complete "
-    "minute grid materializes in-plan via sequence()+explode bounded "
-    "by the symbol's own [min, max] range, left-joins the observed "
-    "closes, and forward-fills with last(ignorenulls) over an ordered "
-    "per-symbol window. Closes are the rv row's tie-free integer-cents "
-    "arg_max, so the fill is hash-exact. Scale shape: the grid is one "
-    "row per symbol-MINUTE (526k/symbol-year — bounded metadata, not "
-    "data), the join is an equi-join on (symbol, minute) AQE handles, "
+    "minute grid materializes in-plan via a TWO-LEVEL sequence()+"
+    "explode (days first, then each day's <=1440 clipped minutes) "
+    "bounded by the symbol's own [min, max] range, left-joins the "
+    "observed closes, and forward-fills with last(ignorenulls) over an "
+    "ordered per-symbol window. Closes are the rv row's tie-free "
+    "integer-cents arg_max, so the fill is hash-exact. Scale shape: "
+    "the grid is one row per symbol-MINUTE (526k/symbol-year — bounded "
+    "metadata, not data) but no single in-plan ARRAY ever exceeds a "
+    "day of minutes (the day rows redistribute between the explodes, "
+    "so per-row memory is flat in the ts spread), the join is an "
+    "equi-join on (symbol, minute) AQE handles, "
     "and the fill window frames the same bounded minute series; the "
     "first grid row per symbol is always observed (the range starts at "
     "an observed minute), so the fill is total.",
@@ -3440,11 +3465,34 @@ def candles_gap_fill(spark, sf_dir):
     rng = m.groupBy("symbol").agg(
         F.min("minute").alias("mn"), F.max("minute").alias("mx")
     )
-    grid = rng.select(
+    # Two-level grid: a single sequence(mn, mx, 1min) would materialize
+    # the symbol's ENTIRE minute range as one array in one row on one
+    # executor (~526k elements per symbol-year, growing linearly with the
+    # ts spread) — a per-row array-size/memory hazard, not a scale-free
+    # plan. Instead explode a coarse DAY sequence (60*24x fewer elements
+    # per array), then expand each day row into its <=1440 clipped
+    # minutes; the day rows redistribute across partitions between the
+    # two explodes, so no single row ever holds more than a day of grid.
+    # mn/mx/day starts are all multiples of 60000, so the union of the
+    # per-day sequences is exactly the minutes of [mn, mx].
+    day_ms = F.lit(86_400_000).cast("long")
+    days = rng.select(
         "symbol",
-        F.explode(F.sequence("mn", "mx", F.lit(60000).cast("long"))).alias(
-            "minute"
-        ),
+        "mn",
+        "mx",
+        F.explode(
+            F.sequence(F.col("mn") - F.col("mn") % day_ms, F.col("mx"), day_ms)
+        ).alias("day"),
+    )
+    grid = days.select(
+        "symbol",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("day"), F.col("mn")),
+                F.least(F.col("day") + day_ms - 60000, F.col("mx")),
+                F.lit(60000).cast("long"),
+            )
+        ).alias("minute"),
     )
     j = grid.join(m, ["symbol", "minute"], "left").select(
         "symbol",
@@ -3898,9 +3946,13 @@ def _sql_stream_nbbo_oracle() -> str:
       FROM lineitem),
     q AS (SELECT * FROM b UNION ALL SELECT * FROM k),
     freshest AS (
+      -- tie refines ts on both venues (see the Spark okey comment);
+      -- folding bid_cents into the low digits makes the key TOTAL over
+      -- the synthetic duplicates of (l_orderkey, l_linenumber), and
+      -- same key => same price => same (bid, ask) pair
       SELECT pair, ex,
-             arg_max(bid_cents, ts * 100000000 + tie) AS bid_cents,
-             arg_max(ask_cents, ts * 100000000 + tie) AS ask_cents,
+             arg_max(bid_cents, tie * 100000000 + bid_cents) AS bid_cents,
+             arg_max(ask_cents, tie * 100000000 + bid_cents) AS ask_cents,
              CAST(count(*) AS BIGINT) AS n_seen
       FROM q GROUP BY pair, ex)
     SELECT pair,
@@ -3924,8 +3976,11 @@ def _sql_stream_nbbo_oracle() -> str:
     "bookTicker and kraken spread parse arms (each filters its venue "
     "tag) and their BBO outputs union back into one stream — the "
     "multi-arm streaming union no single-arm row exercises — then a "
-    "per-pair keyed state holds each venue's FRESHEST quote (LWW by "
-    "timestamp + deterministic tie key) across micro-batches and "
+    "per-pair keyed state holds each venue's FRESHEST quote (LWW by an "
+    "event-id key that refines the venue timestamp, with the quote's "
+    "integer cents folded into the low digits so the key stays total "
+    "over the synthetic data's duplicate (orderkey, linenumber) rows) "
+    "across micro-batches and "
     "emits the consolidated NBBO after every batch. The result keeps "
     "each pair's LAST emission (max cumulative quote count — monotone "
     "per key, so the selection is batch-alignment-agnostic), and the "
@@ -4101,12 +4156,18 @@ def stream_nbbo_tape(spark, sf_dir):
             "ex",
             "bid_cents",
             "ask_cents",
-            # rebase to the epoch origin before widening: raw epoch-ms
-            # times 1e8 overflows int64
+            # Freshness key. tie = l_orderkey*10 + l_linenumber strictly
+            # REFINES both venues' timestamps (binance ts = base +
+            # orderkey; kraken ts = second-of-orderkey), so max-by-tie is
+            # max-by-(ts, tie). The synthetic lineitem carries duplicate
+            # (l_orderkey, l_linenumber) pairs with DIFFERENT prices, so
+            # tie alone is not total — fold the quote's integer bid cents
+            # into the low digits (the realized_volatility_1h pattern):
+            # same okey => same bid => same price => same ask, so the
+            # winner's (bid, ask) is deterministic in both engines.
             (
-                (F.col("timestamp") - F.lit(_BASE_TS))
-                * F.lit(100000000).cast("long")
-                + F.col("tie")
+                F.col("tie") * F.lit(100000000).cast("long")
+                + F.col("bid_cents")
             ).alias("okey"),
         )
         tape = quotes.groupBy("pair").applyInPandasWithState(
@@ -4133,13 +4194,19 @@ def stream_nbbo_tape(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    emissions = spark.table(name).localCheckpoint(eager=True)
     # keep each pair's LAST emission: n_quotes_seen is monotone per key,
     # so this selection is batch-alignment-agnostic
-    return emissions.groupBy("pair").agg(
-        F.max_by("nbbo_bid_cents", "n_quotes_seen").alias("nbbo_bid_cents"),
-        F.max_by("bid_venue", "n_quotes_seen").alias("bid_venue"),
-        F.max_by("nbbo_ask_cents", "n_quotes_seen").alias("nbbo_ask_cents"),
-        F.max_by("ask_venue", "n_quotes_seen").alias("ask_venue"),
-        F.max("n_quotes_seen").alias("n_quotes_seen"),
+    return finalize_memory_sink(
+        spark.table(name)
+        .groupBy("pair")
+        .agg(
+            F.max_by("nbbo_bid_cents", "n_quotes_seen").alias(
+                "nbbo_bid_cents"
+            ),
+            F.max_by("bid_venue", "n_quotes_seen").alias("bid_venue"),
+            F.max_by("nbbo_ask_cents", "n_quotes_seen").alias("nbbo_ask_cents"),
+            F.max_by("ask_venue", "n_quotes_seen").alias("ask_venue"),
+            F.max("n_quotes_seen").alias("n_quotes_seen"),
+        ),
+        name,
     )

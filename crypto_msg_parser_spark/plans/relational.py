@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from crypto_msg_parser_spark.plans.money import cents, pct
 from crypto_msg_parser_spark.registry import query
+from crypto_msg_parser_spark.session import finalize_memory_sink
 from crypto_msg_parser_spark.sources.testdata import load_table
 
 # exact integer-cents building blocks, shared across queries (lazy: Column
@@ -590,7 +591,9 @@ def events_stream_late_drop(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.sql(f"SELECT window_start, n FROM {name}")
+    return finalize_memory_sink(
+        spark.table(name).select("window_start", "n"), name
+    )
 
 
 @query(

@@ -76,3 +76,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def finalize_memory_sink(df, name: str):
+    """Seal a memory-sink-derived streaming result into a self-contained
+    frame.
+
+    Streaming rows drain an availableNow job into a uuid-named memory-sink
+    temp view and return a frame over it. Left as a lazy view read, every
+    run in one session leaks a global temp view (and the sink's driver-held
+    rows stay reachable for the session's life) — bench.py's per-pass
+    STREAMING rebuild accumulated reps x rows of them (ADVICE r4 #4). So:
+    eagerly localCheckpoint the result (it no longer needs the view to
+    re-execute), DROP the sink view, and hand back the checkpointed frame —
+    callers that rebuild (bench.py) can .unpersist() the previous one to
+    release everything.
+    """
+    out = df.localCheckpoint(eager=True)
+    df.sparkSession.catalog.dropTempView(name)
+    return out

@@ -57,7 +57,11 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    from crypto_msg_parser_spark.session import finalize_memory_sink
+
+    return finalize_memory_sink(
+        stream_df.sparkSession.table(query_name), query_name
+    )
 
 
 def user_totals_stateful(events: DataFrame) -> DataFrame:
