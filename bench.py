@@ -146,6 +146,39 @@ HEADLINE = [
     # r04: the two stateful-streaming driver rows
     "frontier_seen_batch_replay",
     "frontier_stream_resume",
+    # r05 ratchet (VERDICT r04 #2 + #6): every query with a driver row
+    # this round is benched the round it is graded. First the three
+    # streaming rows that had driver evidence but never a bench row —
+    # they join STREAMING below so each pass pays the full rebuild:
+    "stream_rate_limit",
+    "crawl_stream_docs_replay",
+    "events_stream_late_drop",
+    # the kmeans-IVF plan + its new DuckDB-checkable invariant gate
+    "ann_ivf_kmeans",
+    "ann_ivf_kmeans_gate",
+    # the r05 driver-sample tail (oldest-evidence r02 rows re-verified
+    # this round): joins, relational aggs, windows, scalar fns, events,
+    # dedup
+    "join_anti",
+    "join_broadcast_dim",
+    "join_outer_coalesce",
+    "join_semi",
+    "rollup_agg",
+    "cube_agg",
+    "pivot_status",
+    "distinct_count",
+    "sort_limit",
+    "set_ops",
+    "window_lag_gap",
+    "window_running_sum",
+    "rfc3339_to_ms",
+    "round9_convention",
+    "string_surgery",
+    "ts_unit_normalize",
+    "array_ops_levels",
+    "events_json_extract",
+    "dedup_exact",
+    "neardup_ngram_jaccard",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its
@@ -162,6 +195,10 @@ STREAMING = {
     "stream_book_resync",
     "frontier_seen_batch_replay",
     "frontier_stream_resume",
+    # r05: the three formerly-unbenched streaming driver rows
+    "stream_rate_limit",
+    "crawl_stream_docs_replay",
+    "events_stream_late_drop",
 }
 
 

@@ -92,111 +92,85 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # taken in dict order — so the queries most in need of a driver-green row
 # this round must come first, independent of module import order.
 #
-# Round-4 rotation (VERDICT r03 "Next round #1"): every §2 family already
-# holds a driver-green row (r03: 50/50), so this round's sample goes to the
-# 35 queries that have NEVER had a driver row across r01-r03 (the wave-2
-# analytics/scrub/crawl-discovery/media families), plus the flagship new
-# this round, plus 5 canaries the verdict named (regression sentinels for
-# the parse ladder, the two corpus flagships, and the stateful streaming
-# replay), with the tail filled by the rows whose latest driver evidence
-# is oldest (r01) or whose family was refactored.
+# Round-5 rotation (VERDICT r04 "Next round #1", final round): the sample
+# converts the last verification debt to graded evidence.
+# (a) The 8 oracled queries with NO driver row in any of r01-r04 (verified
+#     against the union of CORRECTNESS_r01-r04: the six r4 market/streaming
+#     rows deferred last round, plus host_skew_stats — whose r01/r02
+#     evidence claim in the r4 comment here was FALSE, it appears in
+#     neither artifact (VERDICT r04 Missing #3) — and frontier_seen_dedup),
+#     plus ann_ivf_kmeans_gate (NEW: the DuckDB-checkable invariant gate
+#     over the kmeans-IVF plan, VERDICT #5) and ann_ivf_kmeans itself
+#     (oracle-less by design; the driver records its weaker rows-only
+#     check). After this round every registered query has had a driver
+#     row at least once.
+# (b) The 6 canaries the verdict named: parse ladder, routing, both corpus
+#     flagships, the batch seen-state replay, and the streaming
+#     checkpoint-RESTART row.
+# (c) The 6 streaming rows whose return path changed this round
+#     (finalize_memory_sink: eager checkpoint + sink-view drop) and the
+#     two tie-key-fixed rows' siblings — re-verify after refactor.
+# (d) Tail: rows whose latest driver evidence is oldest (the two r01
+#     rows, then r02 rows chosen for family breadth — joins, relational
+#     aggs, windows, scalar fns, TPC-H, events, dedup/ANN). Every row NOT
+#     sampled this round keeps r02+ driver evidence and stays green in
+#     the full-registry local oracle replay inside pytest.
 _PRIORITY = [
-    # ---- canaries (VERDICT r03 #1 names) ----
+    # ---- (a) never driver-sampled in r01-r04 ----
+    "stream_nbbo_tape",
+    "nbbo_consolidated_1m",
+    "candles_gap_fill",
+    "trade_sign_leeready_1m",
+    "candles_sma_bands_5m",
+    "price_impact_kyle_lambda",
+    "host_skew_stats",
+    "frontier_seen_dedup",
+    "ann_ivf_kmeans_gate",
+    "ann_ivf_kmeans",
+    # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
     "corpus_prep_full",
     "web_corpus_prep_full",
     "frontier_seen_batch_replay",
-    # ---- NEW this round: the market-data composed flagship ----
-    "market_analytics_full",
-    # ---- NEW this round: streaming checkpoint-RESTART row (the state
-    # store must rehydrate across two availableNow query instances) ----
     "frontier_stream_resume",
-    # ---- never driver-sampled (r01-r03): market analytics wave ----
-    "l2_book_reconstruct",
-    "l2_spread_stats",
-    "candles_rollup_5m",
-    "vwap_1m",
-    "order_flow_imbalance_1m",
-    "funding_accrual_8h",
-    # ---- never sampled: scrub / corpus-quality wave ----
-    "pii_scrub",
-    "gopher_quality_filter",
-    "dup_ngram_windows",
-    "corpus_importance_resample",
-    "corpus_audit_report",
-    "corpus_domain_rebalance",
-    # ---- never sampled: crawl-discovery wave ----
-    "sitemap_extract",
-    "robots_sitemap_discovery",
-    "redirect_resolve",
-    "recrawl_backoff",
-    "pagerank_priority",
-    "host_circuit_breaker",
-    "url_canonicalize",
-    # NEW this round: the composed crawl-scheduling flagship (stage
-    # coupling: canonicalize -> seen anti-join -> robots gate -> rank
-    # tiers -> clamped politeness epochs, one plan). frontier_seen_dedup
-    # yields its slot — its anti-join is a verbatim stage of this plan
-    # and of the frontier_seen_batch_replay canary above
-    "crawl_schedule_full",
-    # NEW this round: the crawl x interleaved link-discovery bridge
-    # (anchor extract -> resolve -> canonicalize -> seen anti-join ->
-    # host-graph edges). host_skew_stats yields — it carries r01/r02
-    # driver evidence; this row has none
-    "outlink_frontier_handoff",
-    # ---- never sampled: dedup/similarity quality wave ----
-    "semantic_dedup_drop",
-    "minhash_estimate_quality",
-    "word_rarity_score",
-    "embedding_quantize_int8",
-    "ann_recall_report",
-    "length_percentiles_by_source",
-    "length_percentiles_approx_by_source",
-    # ---- never sampled: interleaved-spans / lake / media ----
-    "spans_boilerplate_strip",
-    "spans_token_truncate",
-    "spans_caption_extract",
-    "docs_lake_roundtrip",
-    "media_resize",
-    "media_feature_extract",
-    "media_embedding_neardup",
-    # NEW this round: multi-epoch BFS frontier expansion (the growth
-    # loop: wave = links(prev wave) ANTI accumulated seen).
-    # range_join_error_follow yields — it keeps r01 driver evidence and
-    # oracle(local) coverage; this row has none
-    "crawl_bfs_expansion",
-    # NEW this round: hourly realized volatility (integer-exact
-    # sum-of-squares on minute closes) — candles_recompute_1m yields its
-    # slot (r01 evidence + oracle(local); rv exercises the same minute
-    # close math downstream)
-    "realized_volatility_1h",
-    # NEW this round: streaming sequence-gap recovery (desync -> discard
-    # -> snapshot re-seed -> healed book) — q1_pricing_summary yields its
-    # slot: it keeps r02 driver evidence AND the driver's entry() smoke
-    # exercises the same plan every round
-    "stream_book_resync",
-    # NEW this round: lake compaction planner (manifest-window bin pack)
-    # — spans_interleave_roundtrip yields (r02 evidence + oracle(local);
-    # the spans family keeps 4 other rows in the sample)
-    "lake_compaction_plan",
-    # NEW this round: streaming L2 book maintenance (keyed state across
-    # interleaved micro-batches, LWW(seq) merge) — the live twin of
-    # l2_book_reconstruct. tfidf_top_terms yields its slot: it keeps r02
-    # driver evidence + oracle(local) coverage; this row has none
+    # ---- (c) streaming rows refactored this round ----
     "stream_book_reconstruct",
-    # NEW this round: proto3 wire-format round trips (f32 closed-form
-    # oracles, trade + repeated-field orderbook) — outrank two more r02
-    # re-verifies (events_tumbling_window yields to stream_candles_1m,
-    # the strictly stronger streaming-window row: real parse pipeline +
-    # watermark-flush semantics; media_frame_sample yields, its family
-    # keeps resize/features/neardup above)
-    "proto_trade_roundtrip",
-    "proto_orderbook_roundtrip",
-    # NEW this round: streaming OHLCV candles through the real parse
-    # plan — availableNow + append-mode flush checked against the
-    # closed-form batch recompute
+    "stream_book_resync",
     "stream_candles_1m",
+    "crawl_stream_docs_replay",
+    "stream_rate_limit",
+    "events_stream_late_drop",
+    # ---- (d) oldest driver evidence: r01 ----
+    "candles_recompute_1m",
+    "range_join_error_follow",
+    # ---- (d) oldest driver evidence: r02, family-breadth picks ----
+    "join_anti",
+    "join_broadcast_dim",
+    "join_outer_coalesce",
+    "join_semi",
+    "rollup_agg",
+    "cube_agg",
+    "pivot_status",
+    "distinct_count",
+    "sort_limit",
+    "set_ops",
+    "window_lag_gap",
+    "window_running_sum",
+    "window_topk_per_group",
+    "rfc3339_to_ms",
+    "round9_convention",
+    "string_surgery",
+    "ts_unit_normalize",
+    "array_ops_levels",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_json_extract",
+    "events_sessionize",
+    "dedup_exact",
+    "neardup_ngram_jaccard",
+    "ann_cosine_topk",
 ]
 
 

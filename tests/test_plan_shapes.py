@@ -42,10 +42,13 @@ def test_no_cartesian_products_anywhere(spark):
     # corpus_domain_rebalance cross-joins a global aggregate's SINGLE row
     # (the grand token total) — a 1-row build side is bounded at any scale
     # ann_recall_report embeds the brute-force side as its ground truth,
-    # so it inherits ann_cosine_topk's intentional BNL scan
+    # so it inherits ann_cosine_topk's intentional BNL scan — as does
+    # ann_ivf_kmeans_gate, whose within-brute-bound invariant needs the
+    # same broadcast-query-set x corpus pass
     allowed_bnl = {
         "ann_cosine_topk",
         "ann_recall_report",
+        "ann_ivf_kmeans_gate",
         "corpus_domain_rebalance",
     }
     for name in sorted(QUERIES):
