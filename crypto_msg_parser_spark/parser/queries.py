@@ -1544,8 +1544,10 @@ def route_mixed_exchanges(spark, sf_dir):
            ts - ts % 60000 AS window_start,
            min(price) AS low,
            max(price) AS high,
-           sum(qty) AS volume,
-           round(sum(price * qty) * 1000000000) / 1000000000 AS quote_volume,
+           CAST(sum(CAST(round(qty * 10) AS BIGINT)) AS BIGINT) / 10.0 AS volume,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)
+                    * CAST(round(qty * 10) AS BIGINT)) AS BIGINT)
+             / 1000.0 AS quote_volume,
            arg_min(price, seq) AS open,
            arg_max(price, seq) AS close,
            count(*) AS n_trades
@@ -1580,10 +1582,21 @@ def candles_recompute_1m(spark, sf_dir):
     out = trades.groupBy("symbol", win).agg(
         F.min("price").alias("low"),
         F.max("price").alias("high"),
-        F.sum("qty").alias("volume"),
-        (F.round(F.sum(F.col("price") * F.col("qty")) * 1e9) / 1e9).alias(
-            "quote_volume"
-        ),
+        # volume/quote_volume in exact integer minor units (qty is on a
+        # 0.1 grid, price on a cent grid by construction): the shuffled
+        # partial-agg sums are associative BIGINTs, so partitioning and
+        # accumulation order cannot drift the last float bits vs the
+        # oracle — a float sum at ~1e8 magnitude has ulp ~1.5e-8, which a
+        # 1e-9 post-round cannot repair (observed at sf0.01)
+        (F.sum(F.round(F.col("qty") * 10).cast("long")) / 10.0).alias("volume"),
+        (
+            F.sum(
+                (
+                    F.round(F.col("price") * 100) * F.round(F.col("qty") * 10)
+                ).cast("long")
+            )
+            / 1000.0
+        ).alias("quote_volume"),
         F.min_by("price", F.col("seq")).alias("open"),
         F.max_by("price", F.col("seq")).alias("close"),
         F.count(F.lit(1)).alias("n_trades"),
@@ -2342,8 +2355,10 @@ def proto_orderbook_roundtrip(spark, sf_dir):
            ts - ts % 60000 AS window_start,
            min(price) AS low,
            max(price) AS high,
-           round(sum(qty) * 1000000000) / 1000000000 AS volume,
-           round(sum(price * qty) * 1000000000) / 1000000000 AS quote_volume,
+           CAST(sum(CAST(round(qty * 10) AS BIGINT)) AS BIGINT) / 10.0 AS volume,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)
+                    * CAST(round(qty * 10) AS BIGINT)) AS BIGINT)
+             / 1000.0 AS quote_volume,
            arg_min(price, seq) AS open,
            arg_max(price, seq) AS close,
            CAST(count(*) AS BIGINT) AS n_trades
@@ -2372,9 +2387,10 @@ def proto_orderbook_roundtrip(spark, sf_dir):
     "(candles_recompute_1m's shape): a correct run emits EXACTLY the "
     "batch result — an unflushed (stuck-watermark) or dropped-late run "
     "fails the row count. open/close via arg_min/arg_max on a seq key "
-    "that totals-orders trades within a minute in both engines; volume "
-    "sums rounded at 1e-9 so streaming partial-agg order cannot drift "
-    "the hash.",
+    "that totals-orders trades within a minute in both engines; "
+    "volume/quote_volume are summed in exact integer minor units "
+    "(price on a cent grid, qty on a deci grid by construction) so "
+    "streaming partial-agg order cannot drift the last float bits.",
 )
 def stream_candles_1m(spark, sf_dir):
     import glob
@@ -2460,9 +2476,20 @@ def stream_candles_1m(spark, sf_dir):
             .agg(
                 F.min("price").alias("low"),
                 F.max("price").alias("high"),
-                (F.round(F.sum("qty") * 1e9) / 1e9).alias("volume"),
-                (F.round(F.sum(F.col("price") * F.col("qty")) * 1e9) / 1e9)
-                .alias("quote_volume"),
+                # exact integer minor-unit sums (see candles_recompute_1m):
+                # a 1e-9 post-round cannot repair the ~1.5e-8 ulp of an
+                # order-dependent float sum at sf0.01 magnitudes
+                (F.sum(F.round(F.col("qty") * 10).cast("long")) / 10.0)
+                .alias("volume"),
+                (
+                    F.sum(
+                        (
+                            F.round(F.col("price") * 100)
+                            * F.round(F.col("qty") * 10)
+                        ).cast("long")
+                    )
+                    / 1000.0
+                ).alias("quote_volume"),
                 F.min_by("price", F.col("seq")).alias("open"),
                 F.max_by("price", F.col("seq")).alias("close"),
                 F.count(F.lit(1)).alias("n_trades"),
