@@ -179,6 +179,13 @@ HEADLINE = [
     "events_json_extract",
     "dedup_exact",
     "neardup_ngram_jaccard",
+    # r05 final-session additions, driver-sampled this round: Roll
+    # effective-spread estimator, Amihud illiquidity (ratio-of-sums),
+    # cross-venue arb screen, leakage-free train/holdout split
+    "roll_spread_1h",
+    "amihud_illiquidity_daily",
+    "venue_arb_spread_1m",
+    "corpus_split_leakfree",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

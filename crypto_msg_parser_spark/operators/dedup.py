@@ -841,3 +841,76 @@ def minhash_estimate_quality(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@query(
+    "corpus_split_leakfree",
+    oracle=f"""
+    WITH RECURSIVE reps AS ({_SQL_REPS}),
+    hashed AS ({_SQL_HASHED}),
+    sig AS ({_SQL_SIG}),
+    bands AS ({_SQL_BANDS}),
+    {_SQL_ND_PAIRS},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM nd
+          UNION ALL SELECT doc_b, doc_a FROM nd),
+    reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, min(b) AS component_id
+      FROM (SELECT a, b FROM reach
+            UNION ALL SELECT DISTINCT a, a FROM e)
+      GROUP BY a),
+    rmap AS (
+      SELECT d.doc_id, r.rep
+      FROM documents d
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS rep
+            FROM documents GROUP BY md5(text)) r
+        ON md5(d.text) = r.h)
+    SELECT m.doc_id,
+           COALESCE(c.component_id, m.rep) AS split_key,
+           c.component_id IS NOT NULL AS in_cluster,
+           CASE WHEN COALESCE(c.component_id, m.rep) % 10 = 0
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM rmap m LEFT JOIN comp c ON c.doc_id = m.rep
+    """,
+    doc="leakage-free train/holdout split assignment — the step between "
+    "dedup and training that naive pipelines get wrong: splitting by "
+    "per-doc hash puts NEAR-DUPLICATES of training docs into the "
+    "holdout set, silently inflating eval scores (the train/test "
+    "contamination SemDeDup/decontaminate_ngram_overlap exist to "
+    "prevent). The split key is therefore assigned per DUPLICATE "
+    "CLUSTER, not per doc: every doc maps to its exact-dup "
+    "representative (min doc_id over md5(text) — the dedup_exact "
+    "survivor rule), reps that belong to a MinHash-LSH near-dup "
+    "component (neardup_components' pair graph) inherit the component "
+    "id, singletons keep their own rep id, and split = key % 10 == 0 "
+    "-> holdout (~10%). Every member of an exact or near-dup cluster "
+    "lands in the SAME split by construction. Scale shape: one md5 "
+    "groupBy for the rep map, the components loop (one join + one agg "
+    "per round over the PAIR graph only — dup clusters are shallow and "
+    "sparse), one left equi-join of docs to cluster labels, split is a "
+    "projection; no all-pairs work anywhere (pairs come banded from "
+    "LSH buckets).",
+)
+def corpus_split_leakfree(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("rep")
+    )
+    rmap = (
+        docs.select("doc_id", F.md5("text").alias("_h"))
+        .join(reps, "_h")
+        .select("doc_id", "rep")
+    )
+    comp = neardup_components(spark, sf_dir).select(
+        F.col("doc_id").alias("rep"), "component_id"
+    )
+    key = F.coalesce("component_id", "rep")
+    return rmap.join(comp, "rep", "left").select(
+        "doc_id",
+        key.alias("split_key"),
+        F.col("component_id").isNotNull().alias("in_cluster"),
+        F.when(key % 10 == 0, "holdout").otherwise("train").alias("split"),
+    )

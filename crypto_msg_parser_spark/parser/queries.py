@@ -3284,10 +3284,11 @@ def stream_book_resync(spark, sf_dir):
     return finalize_memory_sink(spark.table(name), name)
 
 
-@query(
-    "nbbo_consolidated_1m",
-    oracle=f"""
-    WITH b AS (
+# DuckDB twin of _two_venue_bbo_quotes below: CTEs b (binance bookTicker
+# leg), k (kraken spread leg), q (the union) — shared by the
+# nbbo_consolidated_1m and venue_arb_spread_1m oracles.
+_SQL_TWO_VENUE_QUOTES = f"""
+    b AS (
       SELECT {_SQL_SPOT_PAIR} AS pair,
              ({_BASE_TS} + l_orderkey)
                - ({_BASE_TS} + l_orderkey) % 60000 AS minute_start,
@@ -3312,35 +3313,18 @@ def stream_book_resync(spark, sf_dir):
                2) * 100) AS BIGINT) AS ask_cents,
              'kraken' AS ex
       FROM lineitem),
-    q AS (SELECT * FROM b UNION ALL SELECT * FROM k)
-    SELECT pair, minute_start,
-           max(bid_cents) AS nbbo_bid_cents,
-           arg_max(ex, bid_cents * 2
-             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS bid_venue,
-           min(ask_cents) AS nbbo_ask_cents,
-           arg_min(ex, ask_cents * 2
-             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS ask_venue,
-           CAST(count(*) AS BIGINT) AS n_quotes,
-           max(bid_cents) >= min(ask_cents) AS crossed
-    FROM q GROUP BY pair, minute_start
-    """,
-    doc="cross-exchange consolidated best bid/offer (the NBBO of the "
-    "reference's unified-pair space): binance bookTicker and kraken "
-    "spread frames flow through their OWN parse arms, land on the "
-    "shared BBO schema with pairs normalized into one namespace "
-    "(binance 'BTCUSDT' and kraken 'XBT/USDT' both -> 'BTC/USDT' — the "
-    "whole point of normalize_pair), and a per (pair, minute) "
-    "aggregate takes the best bid / best ask across venues with "
-    "arg_max over an integer cents*2+venue-bit key so venue "
-    "attribution is tie-free by construction. Kraken quotes are deterministically "
-    "±1 cent around binance's so the winning venue alternates, and "
-    "one pair (BNB/BTC) is binance-only — the single-venue NBBO edge "
-    "case. Integer cents before aggregation (plans/money.py); "
-    "crossed-book flag = one integer compare on the aggregates. Scale "
-    "shape: two parse pipelines (zero per-row Python), one unionByName "
-    "(no shuffle), one partial-agg groupBy on (pair, minute).",
-)
-def nbbo_consolidated_1m(spark, sf_dir):
+    q AS (SELECT * FROM b UNION ALL SELECT * FROM k)"""
+
+
+def _two_venue_bbo_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-venue consolidated quote frame shared by the cross-exchange
+    rows (`nbbo_consolidated_1m`, `venue_arb_spread_1m`): binance
+    bookTicker and kraken spread wires through their OWN parse arms,
+    pairs unified by normalize_pair onto one namespace, prices quantized
+    to integer cents (plans/money.py) BEFORE any aggregation. Kraken
+    quotes are deterministically ±1 cent around binance's so the better
+    venue alternates; BNB/BTC is binance-only (single-venue edge case).
+    Columns: pair, minute_start, bid_cents, ask_cents, ex."""
     from crypto_msg_parser_spark.parser import kraken
     from crypto_msg_parser_spark.plans.money import cents
 
@@ -3396,6 +3380,42 @@ def nbbo_consolidated_1m(spark, sf_dir):
             F.col("exchange").alias("ex"),
         )
         quotes = one if quotes is None else quotes.unionByName(one)
+    return quotes
+
+
+@query(
+    "nbbo_consolidated_1m",
+    oracle=f"""
+    WITH {_SQL_TWO_VENUE_QUOTES}
+    SELECT pair, minute_start,
+           max(bid_cents) AS nbbo_bid_cents,
+           arg_max(ex, bid_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS bid_venue,
+           min(ask_cents) AS nbbo_ask_cents,
+           arg_min(ex, ask_cents * 2
+             + CASE WHEN ex = 'kraken' THEN 1 ELSE 0 END) AS ask_venue,
+           CAST(count(*) AS BIGINT) AS n_quotes,
+           max(bid_cents) >= min(ask_cents) AS crossed
+    FROM q GROUP BY pair, minute_start
+    """,
+    doc="cross-exchange consolidated best bid/offer (the NBBO of the "
+    "reference's unified-pair space): binance bookTicker and kraken "
+    "spread frames flow through their OWN parse arms, land on the "
+    "shared BBO schema with pairs normalized into one namespace "
+    "(binance 'BTCUSDT' and kraken 'XBT/USDT' both -> 'BTC/USDT' — the "
+    "whole point of normalize_pair), and a per (pair, minute) "
+    "aggregate takes the best bid / best ask across venues with "
+    "arg_max over an integer cents*2+venue-bit key so venue "
+    "attribution is tie-free by construction. Kraken quotes are deterministically "
+    "±1 cent around binance's so the winning venue alternates, and "
+    "one pair (BNB/BTC) is binance-only — the single-venue NBBO edge "
+    "case. Integer cents before aggregation (plans/money.py); "
+    "crossed-book flag = one integer compare on the aggregates. Scale "
+    "shape: two parse pipelines (zero per-row Python), one unionByName "
+    "(no shuffle), one partial-agg groupBy on (pair, minute).",
+)
+def nbbo_consolidated_1m(spark, sf_dir):
+    quotes = _two_venue_bbo_quotes(spark, sf_dir)
     return quotes.groupBy("pair", "minute_start").agg(
         F.max("bid_cents").alias("nbbo_bid_cents"),
         # venue folded into the integer order key: cents*2 + venue bit —
@@ -4236,4 +4256,323 @@ def stream_nbbo_tape(spark, sf_dir):
             F.max("n_quotes_seen").alias("n_quotes_seen"),
         ),
         name,
+    )
+
+# --------------------------------- round-5 downstream market analytics
+#
+# Three more members of the post-parse analytics family every reference
+# user runs on normalized trade/BBO frames (reference scope: the parser
+# emits TradeMsg/BboMsg, lib.rs:76-162; everything downstream is engine
+# work). All three follow the repo's float-determinism discipline: every
+# AGGREGATE is an exact associative BIGINT (plans/money.py minor units),
+# and each reported double is a short identical IEEE chain on those
+# integers in both engines.
+
+
+@query(
+    "venue_arb_spread_1m",
+    oracle=f"""
+    WITH {_SQL_TWO_VENUE_QUOTES},
+    pv AS (
+      SELECT pair, minute_start,
+             max(CASE WHEN ex = 'binance' THEN bid_cents END)
+               AS binance_bid_cents,
+             min(CASE WHEN ex = 'binance' THEN ask_cents END)
+               AS binance_ask_cents,
+             max(CASE WHEN ex = 'kraken' THEN bid_cents END)
+               AS kraken_bid_cents,
+             min(CASE WHEN ex = 'kraken' THEN ask_cents END)
+               AS kraken_ask_cents,
+             CAST(count(DISTINCT ex) AS INT) AS n_venues
+      FROM q GROUP BY pair, minute_start)
+    SELECT pair, minute_start, n_venues,
+           binance_bid_cents, binance_ask_cents,
+           kraken_bid_cents, kraken_ask_cents,
+           CASE WHEN n_venues = 2 THEN
+             greatest(binance_bid_cents - kraken_ask_cents,
+                      kraken_bid_cents - binance_ask_cents)
+           END AS arb_cents,
+           CASE WHEN n_venues = 2 THEN
+             greatest(binance_bid_cents - kraken_ask_cents,
+                      kraken_bid_cents - binance_ask_cents) > 0
+           END AS arb_open
+    FROM pv
+    """,
+    doc="cross-venue arbitrage screen per (pair, minute) — the dislocation "
+    "monitor that runs downstream of the consolidated tape: for every "
+    "minute bar, each venue's best bid and best ask (integer cents, "
+    "max/min aggregates — tie-free by construction, unlike a "
+    "last-quote selection which needs a total order key), then the "
+    "executable round-trip edge = max(bid_A - ask_B, bid_B - ask_A) "
+    "across distinct venues. Positive arb_cents = a crossed market "
+    "ACROSS venues (buy the cheap ask, sell the rich bid); NULL for "
+    "single-venue pairs (BNB/BTC), where no cross-venue trade exists. "
+    "Shares _two_venue_bbo_quotes with nbbo_consolidated_1m: both "
+    "venues' wires flow through their OWN parse arms "
+    "(binance.parse_bbo / kraken.parse_bbo) and meet in the unified "
+    "pair namespace — the reference's normalize_pair promise is what "
+    "makes the equi-grouping sound. Scale shape: two parse pipelines "
+    "(zero per-row Python), one unionByName (no shuffle), ONE "
+    "partial-agg groupBy on (pair, minute) — conditional min/max "
+    "aggregates pivot the venues without a join, so adding a venue "
+    "adds a parse leg, never a shuffle.",
+)
+def venue_arb_spread_1m(spark, sf_dir):
+    quotes = _two_venue_bbo_quotes(spark, sf_dir)
+    pv = quotes.groupBy("pair", "minute_start").agg(
+        F.max(F.when(F.col("ex") == "binance", F.col("bid_cents"))).alias(
+            "binance_bid_cents"
+        ),
+        F.min(F.when(F.col("ex") == "binance", F.col("ask_cents"))).alias(
+            "binance_ask_cents"
+        ),
+        F.max(F.when(F.col("ex") == "kraken", F.col("bid_cents"))).alias(
+            "kraken_bid_cents"
+        ),
+        F.min(F.when(F.col("ex") == "kraken", F.col("ask_cents"))).alias(
+            "kraken_ask_cents"
+        ),
+        F.countDistinct("ex").cast("int").alias("n_venues"),
+    )
+    arb = F.greatest(
+        F.col("binance_bid_cents") - F.col("kraken_ask_cents"),
+        F.col("kraken_bid_cents") - F.col("binance_ask_cents"),
+    )
+    both = F.col("n_venues") == 2
+    return pv.select(
+        "pair",
+        "minute_start",
+        "n_venues",
+        "binance_bid_cents",
+        "binance_ask_cents",
+        "kraken_bid_cents",
+        "kraken_ask_cents",
+        F.when(both, arb).alias("arb_cents"),
+        F.when(both, arb > 0).alias("arb_open"),
+    )
+
+
+# shared trade synthesis for the two estimator rows below — identical to
+# realized_volatility_1h's (one trade per lineitem row, ts spread by
+# orderkey*997 ms, integer cents, tie-free arg_max key with the price
+# folded into the low digits).
+_SQL_EST_TRADES = f"""
+    trades AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey * 997 AS ts,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             CAST(round(l_quantity * 10) AS BIGINT) AS qty_deci,
+             (l_orderkey * 10 + l_linenumber) * 100000000
+               + CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS seq
+      FROM lineitem),
+    m AS (
+      SELECT symbol, ts - ts % 60000 AS minute,
+             arg_max(price_cents, seq) AS close_cents
+      FROM trades GROUP BY symbol, ts - ts % 60000)"""
+
+
+def _est_trades(spark, sf_dir):
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        _spot_symbol().alias("symbol"),
+        (F.lit(_BASE_TS) + F.col("l_orderkey") * 997).alias("ts"),
+        cents(F.round("l_extendedprice", 2)).alias("price_cents"),
+        F.round(F.col("l_quantity") * 10).cast("long").alias("qty_deci"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            * F.lit(100000000).cast("long")
+            + cents(F.round("l_extendedprice", 2))
+        ).alias("seq"),
+    )
+
+
+def _minute_closes(spark, sf_dir):
+    t = _est_trades(spark, sf_dir)
+    minute = (F.col("ts") - F.col("ts") % 60000).alias("minute")
+    return t.groupBy("symbol", minute).agg(
+        F.max_by("price_cents", "seq").alias("close_cents")
+    )
+
+
+@query(
+    "roll_spread_1h",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    d AS (
+      SELECT symbol, minute,
+             close_cents - lag(close_cents) OVER w AS diff,
+             lag(close_cents) OVER w - lag(close_cents, 2) OVER w
+               AS prev_diff
+      FROM m WINDOW w AS (PARTITION BY symbol ORDER BY minute)),
+    p AS (SELECT * FROM d
+          WHERE diff IS NOT NULL AND prev_diff IS NOT NULL)
+    SELECT symbol, minute - minute % 3600000 AS hour_start,
+           CAST(count(*) AS INT) AS n_pairs,
+           CAST(count(*) * sum(diff * prev_diff)
+                - sum(diff) * sum(prev_diff) AS BIGINT) AS cov_num,
+           CASE WHEN count(*) * sum(diff * prev_diff)
+                     - sum(diff) * sum(prev_diff) < 0 THEN
+             2.0 * sqrt(
+               CAST(CAST(-(count(*) * sum(diff * prev_diff)
+                           - sum(diff) * sum(prev_diff)) AS BIGINT)
+                    AS DOUBLE)
+               / CAST(count(*) * count(*) AS DOUBLE)) / 100.0
+           END AS roll_spread_usd
+    FROM p GROUP BY symbol, minute - minute % 3600000
+    """,
+    doc="Roll (1984) implicit effective-spread estimator per symbol-hour "
+    "from 1-minute closes: spread = 2*sqrt(-cov(dp_t, dp_(t-1))) when "
+    "the serial covariance of successive price changes is negative "
+    "(bid-ask bounce), NULL otherwise (trending hour, estimator "
+    "undefined) — the classic microstructure estimator computed without "
+    "trade-sign data. Float-drift-free like realized_volatility_1h: "
+    "closes are integer cents, the covariance NUMERATOR n*S(xy)-S(x)S(y) "
+    "is an exact associative BIGINT (pairwise magnitudes bounded: "
+    "|diff| <= 1e7 cents, <=59 pairs/hour, so n*S(xy) <= 3.6e17 < 2^63), "
+    "and the reported double is the identical IEEE chain "
+    "(int64->double cast, divide, sqrt, *2.0, /100.0) in both engines — "
+    "the oracle casts its HUGEINT aggregate through BIGINT first so both "
+    "sides convert the same int64. The diff pair (d_t, d_(t-1)) is "
+    "assigned to the LATER minute's hour, same convention as the "
+    "realized-vol row. Scale shape: one shuffle to (symbol, minute) for "
+    "the close agg, one per-symbol ordered window over MINUTES (bounded "
+    "metadata frame), one partial-agg hour rollup.",
+)
+def roll_spread_1h(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    m = _minute_closes(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("minute")
+    d = m.select(
+        "symbol",
+        "minute",
+        (F.col("close_cents") - F.lag("close_cents").over(w)).alias("diff"),
+        (
+            F.lag("close_cents").over(w) - F.lag("close_cents", 2).over(w)
+        ).alias("prev_diff"),
+    ).filter(F.col("diff").isNotNull() & F.col("prev_diff").isNotNull())
+    hour = (F.col("minute") - F.col("minute") % 3600000).alias("hour_start")
+    g = d.groupBy("symbol", hour).agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("diff") * F.col("prev_diff"))
+            - F.sum("diff") * F.sum("prev_diff")
+        )
+        .cast("long")
+        .alias("cov_num"),
+    )
+    return g.select(
+        "symbol",
+        "hour_start",
+        "n_pairs",
+        "cov_num",
+        F.when(
+            F.col("cov_num") < 0,
+            F.lit(2.0)
+            * F.sqrt(
+                (-F.col("cov_num")).cast("double")
+                / (
+                    F.col("n_pairs").cast("long")
+                    * F.col("n_pairs").cast("long")
+                ).cast("double")
+            )
+            / F.lit(100.0),
+        ).alias("roll_spread_usd"),
+    )
+
+
+@query(
+    "amihud_illiquidity_daily",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    d AS (
+      SELECT symbol, minute,
+             close_cents - lag(close_cents) OVER (
+               PARTITION BY symbol ORDER BY minute) AS diff
+      FROM m),
+    adr AS (
+      SELECT symbol, minute - minute % 86400000 AS day_start,
+             CAST(sum(abs(diff)) AS BIGINT) AS sum_abs_move_cents,
+             CAST(count(*) AS INT) AS n_intervals
+      FROM d WHERE diff IS NOT NULL
+      GROUP BY symbol, minute - minute % 86400000),
+    vol AS (
+      SELECT symbol, ts - ts % 86400000 AS day_start,
+             CAST(sum(price_cents * qty_deci) AS BIGINT)
+               AS dollar_deci_cents,
+             CAST(count(*) AS INT) AS n_trades
+      FROM trades GROUP BY symbol, ts - ts % 86400000)
+    SELECT v.symbol, v.day_start, v.n_trades,
+           COALESCE(a.n_intervals, 0) AS n_intervals,
+           COALESCE(a.sum_abs_move_cents, 0) AS sum_abs_move_cents,
+           v.dollar_deci_cents,
+           (CAST(COALESCE(a.sum_abs_move_cents, 0) AS DOUBLE)
+            / CAST(v.dollar_deci_cents AS DOUBLE)) * 1e9
+             AS amihud_nano
+    FROM vol v LEFT JOIN adr a
+      ON a.symbol = v.symbol AND a.day_start = v.day_start
+    """,
+    doc="Amihud (2002) illiquidity per symbol-day, in the aggregated "
+    "ratio-of-sums form a distributed engine can make exact: "
+    "sum(|close-to-close move|) over the day's minutes divided by the "
+    "day's dollar volume (the per-minute average-of-ratios form sums "
+    "DOUBLES and is partial-agg order-dependent — rejected for the same "
+    "reason candles_recompute_1m dropped its double quote_volume sum). "
+    "Numerator and denominator are exact associative BIGINTs (move in "
+    "cents; volume in cents x deci-units, per-trade <= 5e9 so a "
+    "symbol-day sum stays far under 2^53 and the int->double cast is "
+    "EXACT in both engines); amihud_nano = one divide + one multiply on "
+    "identical integers. Cross-day moves assign to the LATER minute's "
+    "day; days whose volume exists but have no second minute report 0 "
+    "moves via the LEFT join (never dropped). Scale shape: one shuffle "
+    "to (symbol, minute), a bounded per-symbol minute window, two "
+    "partial-agg day rollups, one equi-join on (symbol, day) — group "
+    "cardinality = symbols x days, metadata-sized at any SF.",
+)
+def amihud_illiquidity_daily(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = _est_trades(spark, sf_dir)
+    m = _minute_closes(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("minute")
+    d = m.select(
+        "symbol",
+        "minute",
+        (F.col("close_cents") - F.lag("close_cents").over(w)).alias("diff"),
+    ).filter(F.col("diff").isNotNull())
+    day_m = (F.col("minute") - F.col("minute") % 86400000).alias("day_start")
+    adr = d.groupBy("symbol", day_m).agg(
+        F.sum(F.abs(F.col("diff"))).cast("long").alias("sum_abs_move_cents"),
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+    )
+    day_t = (F.col("ts") - F.col("ts") % 86400000).alias("day_start")
+    vol = t.groupBy("symbol", day_t).agg(
+        F.sum(F.col("price_cents") * F.col("qty_deci"))
+        .cast("long")
+        .alias("dollar_deci_cents"),
+        F.count(F.lit(1)).cast("int").alias("n_trades"),
+    )
+    j = vol.join(adr, ["symbol", "day_start"], "left")
+    return j.select(
+        "symbol",
+        "day_start",
+        "n_trades",
+        F.coalesce("n_intervals", F.lit(0)).alias("n_intervals"),
+        F.coalesce("sum_abs_move_cents", F.lit(0).cast("long")).alias(
+            "sum_abs_move_cents"
+        ),
+        "dollar_deci_cents",
+        (
+            (
+                F.coalesce("sum_abs_move_cents", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("dollar_deci_cents").cast("double")
+            )
+            * F.lit(1e9)
+        ).alias("amihud_nano"),
     )

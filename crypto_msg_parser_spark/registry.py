@@ -127,6 +127,16 @@ _PRIORITY = [
     "frontier_seen_dedup",
     "ann_ivf_kmeans_gate",
     "ann_ivf_kmeans",
+    # ---- (a2) NEW this round: the final-session additions (Roll spread,
+#      Amihud illiquidity, cross-venue arb screen, leakage-free split) —
+#      zero driver history by construction, sampled the round they land.
+#      Four (d)-tail rows yield their slots (pivot_status, rfc3339_to_ms,
+#      string_surgery, ts_unit_normalize — all r02 driver-green and
+#      unchanged since; their families keep other sampled members).
+    "roll_spread_1h",
+    "amihud_illiquidity_daily",
+    "venue_arb_spread_1m",
+    "corpus_split_leakfree",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
@@ -151,17 +161,13 @@ _PRIORITY = [
     "join_semi",
     "rollup_agg",
     "cube_agg",
-    "pivot_status",
     "distinct_count",
     "sort_limit",
     "set_ops",
     "window_lag_gap",
     "window_running_sum",
     "window_topk_per_group",
-    "rfc3339_to_ms",
     "round9_convention",
-    "string_surgery",
-    "ts_unit_normalize",
     "array_ops_levels",
     "q1_pricing_summary",
     "q3_shipping_priority",

