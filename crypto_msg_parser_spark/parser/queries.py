@@ -3563,10 +3563,13 @@ def candles_gap_fill(spark, sf_dir):
     )
 
 
-@query(
-    "trade_sign_leeready_1m",
-    oracle=f"""
-    WITH q1 AS (
+# Lee-Ready CTE prefix shared by trade_sign_leeready_1m and
+# trade_markout_5m: quotes q1 (±1-cent skewed mids 500 ms before their
+# order's trades), trades t, the as-of mid carry, the tick-rule
+# fallback, the final per-trade sign. `signed` retains mid_x2 so the
+# markout row can difference against it (harmless extra column for
+# the sign row's final aggregate).
+_SQL_LEEREADY_SIGNED = f"""q1 AS (
       SELECT {_SQL_SPOT_SYMBOL} AS symbol,
              {_BASE_TS} + l_orderkey * 997 - 500 AS qts,
              CAST(round(round(l_extendedprice - 1
@@ -3609,43 +3612,20 @@ def candles_gap_fill(spark, sf_dir):
                   ELSE CAST(NULL AS BIGINT) END AS raw_tick
       FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
     signed AS (
-      SELECT symbol, ts, price_cents, qty_deci,
+      SELECT symbol, ts, price_cents, qty_deci, mid_x2,
              CASE WHEN price_cents * 2 > mid_x2 THEN CAST(1 AS BIGINT)
                   WHEN price_cents * 2 < mid_x2 THEN CAST(-1 AS BIGINT)
                   ELSE last_value(raw_tick IGNORE NULLS) OVER (
                     PARTITION BY symbol ORDER BY ts, seq
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   END AS sgn
-      FROM ticked)
-    SELECT symbol, ts - ts % 60000 AS minute_start,
-           CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_buy,
-           CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n_sell,
-           CAST(count(*) FILTER (WHERE sgn IS NULL) AS BIGINT) AS n_unknown,
-           COALESCE(CAST(sum(sgn * qty_deci) AS BIGINT), 0)
-             AS signed_qty_deci
-    FROM signed GROUP BY symbol, ts - ts % 60000
-    """,
-    doc="Lee-Ready trade-sign classification (Lee & Ready 1991, the "
-    "standard aggressor-side inference when the feed carries no taker "
-    "flag — several reference arms genuinely don't, e.g. dYdX/bitmex "
-    "side-less frames): every trade joins AS-OF backward to the most "
-    "recent quote midpoint of its symbol (union quotes+trades, one "
-    "ordered window carrying last(mid ignorenulls) — the same merge "
-    "the reference consumer does by interleaving ws channels), signs "
-    "above/below mid in integer cents, and falls back to the tick rule "
-    "at the midpoint (last non-zero price-change direction, a second "
-    "ignorenulls carry; still-unknown leading trades stay NULL and are "
-    "reported, not guessed). Quotes are deterministically skewed "
-    "±1 cent (and unskewed every third order, forcing the tick-rule "
-    "path) and sit 500 ms before their order's trades, so every branch "
-    "runs at every SF. Output = per symbol-minute signed order flow in "
-    "exact integer deci-units. Scale shape: one union (no shuffle), "
-    "one shuffle to the symbol partitioning shared by BOTH carry "
-    "windows and the tick lag, then a partial-agg minute rollup — the "
-    "windows order symbol-local event streams, the same bounded frames "
-    "the book operators use.",
-)
-def trade_sign_leeready_1m(spark, sf_dir):
+      FROM ticked)"""
+
+
+def _leeready_signed(spark, sf_dir):
+    """Spark twin of _SQL_LEEREADY_SIGNED: per-trade Lee-Ready sign with
+    the prevailing quote mid retained — (symbol, ts, price_cents,
+    qty_deci, mid_x2, sgn)."""
     from pyspark.sql import Window as W
 
     from crypto_msg_parser_spark.plans.money import cents
@@ -3714,13 +3694,49 @@ def trade_sign_leeready_1m(spark, sf_dir):
         .orderBy("ts", "seq")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    signed = ticked.select(
-        "symbol", "ts", "price_cents", "qty_deci",
+    return ticked.select(
+        "symbol", "ts", "price_cents", "qty_deci", "mid_x2",
         F.when(F.col("price_cents") * 2 > F.col("mid_x2"), F.lit(1).cast("long"))
         .when(F.col("price_cents") * 2 < F.col("mid_x2"), F.lit(-1).cast("long"))
         .otherwise(F.last("raw_tick", ignorenulls=True).over(w_carry))
         .alias("sgn"),
     )
+
+
+@query(
+    "trade_sign_leeready_1m",
+    oracle=f"""
+    WITH {_SQL_LEEREADY_SIGNED}
+    SELECT symbol, ts - ts % 60000 AS minute_start,
+           CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_buy,
+           CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n_sell,
+           CAST(count(*) FILTER (WHERE sgn IS NULL) AS BIGINT) AS n_unknown,
+           COALESCE(CAST(sum(sgn * qty_deci) AS BIGINT), 0)
+             AS signed_qty_deci
+    FROM signed GROUP BY symbol, ts - ts % 60000
+    """,
+    doc="Lee-Ready trade-sign classification (Lee & Ready 1991, the "
+    "standard aggressor-side inference when the feed carries no taker "
+    "flag — several reference arms genuinely don't, e.g. dYdX/bitmex "
+    "side-less frames): every trade joins AS-OF backward to the most "
+    "recent quote midpoint of its symbol (union quotes+trades, one "
+    "ordered window carrying last(mid ignorenulls) — the same merge "
+    "the reference consumer does by interleaving ws channels), signs "
+    "above/below mid in integer cents, and falls back to the tick rule "
+    "at the midpoint (last non-zero price-change direction, a second "
+    "ignorenulls carry; still-unknown leading trades stay NULL and are "
+    "reported, not guessed). Quotes are deterministically skewed "
+    "±1 cent (and unskewed every third order, forcing the tick-rule "
+    "path) and sit 500 ms before their order's trades, so every branch "
+    "runs at every SF. Output = per symbol-minute signed order flow in "
+    "exact integer deci-units. Scale shape: one union (no shuffle), "
+    "one shuffle to the symbol partitioning shared by BOTH carry "
+    "windows and the tick lag, then a partial-agg minute rollup — the "
+    "windows order symbol-local event streams, the same bounded frames "
+    "the book operators use.",
+)
+def trade_sign_leeready_1m(spark, sf_dir):
+    signed = _leeready_signed(spark, sf_dir)
     minute = (F.col("ts") - F.col("ts") % 60000).alias("minute_start")
     return signed.groupBy("symbol", minute).agg(
         F.count(F.when(F.col("sgn") == 1, 1)).cast("long").alias("n_buy"),
@@ -4575,4 +4591,160 @@ def amihud_illiquidity_daily(spark, sf_dir):
             )
             * F.lit(1e9)
         ).alias("amihud_nano"),
+    )
+
+
+@query(
+    "trade_markout_5m",
+    oracle=f"""
+    WITH {_SQL_LEEREADY_SIGNED},
+    qm AS (
+      SELECT symbol, qts - qts % 60000 AS minute,
+             arg_max(mid_x2,
+                     ((qts - {_BASE_TS} + 500) // 997) * 100000000 + mid_x2)
+               AS mid5_x2
+      FROM q1 GROUP BY symbol, qts - qts % 60000),
+    mt AS (
+      SELECT s.symbol, s.ts, s.price_cents, s.mid_x2, s.sgn, q.mid5_x2
+      FROM signed s LEFT JOIN qm q
+        ON q.symbol = s.symbol
+       AND q.minute = (s.ts - s.ts % 60000) + 300000)
+    SELECT symbol, ts - ts % 3600000 AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(count(*) FILTER (WHERE sgn IS NOT NULL) AS BIGINT)
+             AS n_signed,
+           CAST(count(*) FILTER (
+             WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) AS BIGINT)
+             AS n_matched,
+           COALESCE(CAST(sum(sgn * (2 * price_cents - mid_x2)) FILTER (
+             WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) AS BIGINT), 0)
+             AS sum_eff_spread_cents,
+           COALESCE(CAST(sum(sgn * (2 * price_cents - mid5_x2)) FILTER (
+             WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) AS BIGINT), 0)
+             AS sum_realized_5m_cents,
+           COALESCE(CAST(sum(sgn * (mid5_x2 - mid_x2)) FILTER (
+             WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) AS BIGINT), 0)
+             AS sum_impact_x2_cents,
+           CASE WHEN count(*) FILTER (
+                  WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) > 0 THEN
+             CAST(COALESCE(CAST(sum(sgn * (2 * price_cents - mid_x2))
+               FILTER (WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL)
+               AS BIGINT), 0) AS DOUBLE)
+             / CAST(count(*) FILTER (
+                 WHERE sgn IS NOT NULL AND mid_x2 IS NOT NULL AND mid5_x2 IS NOT NULL) AS DOUBLE)
+             / 100.0
+           END AS avg_eff_spread_usd
+    FROM mt GROUP BY symbol, ts - ts % 3600000
+    """,
+    doc="5-minute trade markout / effective-vs-realized spread "
+    "decomposition per symbol-hour — the canonical transaction-cost "
+    "decomposition (Glosten; the TCA metric tick pipelines compute at "
+    "scale): per Lee-Ready-signed trade, effective spread = "
+    "2*sgn*(price - prevailing mid) and 5-minute realized spread = "
+    "2*sgn*(price - reference mid 5 minutes later); the difference, "
+    "2*sgn*(mid_5m - mid), is twice the permanent price impact, so "
+    "sum_eff = sum_realized + sum_impact_x2 holds as an exact integer "
+    "identity on every row (pytest pins it). Reuses the shared "
+    "Lee-Ready prefix (_SQL_LEEREADY_SIGNED / _leeready_signed) for "
+    "signing and the as-of mid; the 5m reference mid is each minute's "
+    "last quote mid, selected arg_max-tie-free by folding the mid into "
+    "the low digits of the orderkey-derived quote index (duplicate "
+    "(l_orderkey, l_linenumber=1) source rows put two quotes on one "
+    "ts — the same trap the sign row's seq solves). Trades whose "
+    "t+5m minute has no quote are COUNTED (n_matched < n_signed), as are tick-rule-signed "
+    "trades preceding their symbol's first quote (no prevailing mid, no "
+    "effective spread), and excluded from all three sums, never guessed; all sums are exact "
+    "associative BIGINTs in integer cents, the one double is a "
+    "guarded two-op IEEE chain on those integers. Scale shape: the "
+    "Lee-Ready symbol-partitioned windows, one partial-agg minute "
+    "rollup of quotes, one equi-join on (symbol, minute+5m) — "
+    "metadata-sized right side — then a partial-agg hour rollup.",
+)
+def trade_markout_5m(spark, sf_dir):
+    signed = _leeready_signed(spark, sf_dir)
+    # per-minute last quote mid: rebuild q1's (ts, mid_x2) pairs via the
+    # shared helper's quote leg — signed carries trades only, so the
+    # quote frame is re-derived here with the same construction
+    from crypto_msg_parser_spark.plans.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    skew = (
+        F.when(F.col("l_orderkey") % 3 == 1, F.lit(0.01))
+        .when(F.col("l_orderkey") % 3 == 2, F.lit(-0.01))
+        .otherwise(F.lit(0.0))
+    )
+    mid = (
+        cents(F.round(p - 1 + skew, 2)) + cents(F.round(p + 1 + skew, 2))
+    ).alias("mid_x2")
+    q1 = li.filter(F.col("l_linenumber") == 1).select(
+        _spot_symbol().alias("symbol"),
+        (F.lit(_BASE_TS) + F.col("l_orderkey") * 997 - 500).alias("qts"),
+        mid,
+    )
+    qkey = (
+        F.expr(f"(qts - {_BASE_TS} + 500) DIV 997")
+        * F.lit(100000000).cast("long")
+        + F.col("mid_x2")
+    )
+    qminute = (F.col("qts") - F.col("qts") % 60000).alias("minute")
+    qm = q1.groupBy("symbol", qminute).agg(
+        F.max_by("mid_x2", qkey).alias("mid5_x2")
+    )
+    mt = signed.join(
+        qm,
+        (qm["symbol"] == signed["symbol"])
+        & (
+            qm["minute"]
+            == (signed["ts"] - signed["ts"] % 60000) + F.lit(300000)
+        ),
+        "left",
+    ).select(
+        signed["symbol"],
+        signed["ts"],
+        "price_cents",
+        "mid_x2",
+        "sgn",
+        "mid5_x2",
+    )
+    matched = (
+        F.col("sgn").isNotNull()
+        & F.col("mid_x2").isNotNull()
+        & F.col("mid5_x2").isNotNull()
+    )
+    eff = F.col("sgn") * (2 * F.col("price_cents") - F.col("mid_x2"))
+    real = F.col("sgn") * (2 * F.col("price_cents") - F.col("mid5_x2"))
+    imp = F.col("sgn") * (F.col("mid5_x2") - F.col("mid_x2"))
+    hour = (F.col("ts") - F.col("ts") % 3600000).alias("hour_start")
+    g = mt.groupBy("symbol", hour).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.count(F.when(F.col("sgn").isNotNull(), 1))
+        .cast("long")
+        .alias("n_signed"),
+        F.count(F.when(matched, 1)).cast("long").alias("n_matched"),
+        F.coalesce(F.sum(F.when(matched, eff)), F.lit(0))
+        .cast("long")
+        .alias("sum_eff_spread_cents"),
+        F.coalesce(F.sum(F.when(matched, real)), F.lit(0))
+        .cast("long")
+        .alias("sum_realized_5m_cents"),
+        F.coalesce(F.sum(F.when(matched, imp)), F.lit(0))
+        .cast("long")
+        .alias("sum_impact_x2_cents"),
+    )
+    return g.select(
+        "symbol",
+        "hour_start",
+        "n_trades",
+        "n_signed",
+        "n_matched",
+        "sum_eff_spread_cents",
+        "sum_realized_5m_cents",
+        "sum_impact_x2_cents",
+        F.when(
+            F.col("n_matched") > 0,
+            F.col("sum_eff_spread_cents").cast("double")
+            / F.col("n_matched").cast("double")
+            / F.lit(100.0),
+        ).alias("avg_eff_spread_usd"),
     )

@@ -128,15 +128,17 @@ _PRIORITY = [
     "ann_ivf_kmeans_gate",
     "ann_ivf_kmeans",
     # ---- (a2) NEW this round: the final-session additions (Roll spread,
-#      Amihud illiquidity, cross-venue arb screen, leakage-free split) —
-#      zero driver history by construction, sampled the round they land.
-#      Four (d)-tail rows yield their slots (pivot_status, rfc3339_to_ms,
-#      string_surgery, ts_unit_normalize — all r02 driver-green and
-#      unchanged since; their families keep other sampled members).
+#      Amihud illiquidity, cross-venue arb screen, leakage-free split,
+#      5m trade markout) — zero driver history by construction, sampled
+#      the round they land. Five (d)-tail rows yield their slots
+#      (pivot_status, rfc3339_to_ms, string_surgery, ts_unit_normalize,
+#      window_lag_gap — all r02 driver-green and unchanged since; their
+#      families keep other sampled members).
     "roll_spread_1h",
     "amihud_illiquidity_daily",
     "venue_arb_spread_1m",
     "corpus_split_leakfree",
+    "trade_markout_5m",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
@@ -164,7 +166,6 @@ _PRIORITY = [
     "distinct_count",
     "sort_limit",
     "set_ops",
-    "window_lag_gap",
     "window_running_sum",
     "window_topk_per_group",
     "round9_convention",

@@ -236,3 +236,30 @@ def test_split_leakfree_no_cluster_straddle(spark):
     rows = split.collect()
     holdout = sum(1 for r in rows if r.split == "holdout")
     assert 0 < holdout < len(rows) / 2
+
+
+def test_markout_decomposition_identity(spark):
+    """Effective spread must decompose EXACTLY: sum_eff = sum_realized +
+    sum_impact_x2 on every symbol-hour (integer identity, no float
+    slack), partial-match hours must be reported not guessed, and the
+    guarded average must reproduce from the row's own integers."""
+    from crypto_msg_parser_spark.parser.queries import trade_markout_5m
+
+    rows = trade_markout_5m(spark, SF).collect()
+    assert rows
+    assert any(r.sum_impact_x2_cents != 0 for r in rows)
+    saw_partial = False
+    for r in rows:
+        assert (
+            r.sum_eff_spread_cents
+            == r.sum_realized_5m_cents + r.sum_impact_x2_cents
+        )
+        assert r.n_matched <= r.n_signed <= r.n_trades
+        saw_partial = saw_partial or r.n_matched < r.n_signed
+        if r.n_matched > 0:
+            assert r.avg_eff_spread_usd == (
+                float(r.sum_eff_spread_cents) / float(r.n_matched) / 100.0
+            )
+        else:
+            assert r.avg_eff_spread_usd is None
+    assert saw_partial, "exclusion path never exercised at smoke SF"
