@@ -187,6 +187,11 @@ HEADLINE = [
     "venue_arb_spread_1m",
     "corpus_split_leakfree",
     "trade_markout_5m",
+    # r05 crawl-hygiene additions: trap/budget audit, mirror-host
+    # detection, DUST parameter mining
+    "url_trap_detect",
+    "mirror_host_detect",
+    "dust_param_detect",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

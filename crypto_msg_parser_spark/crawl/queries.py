@@ -1697,3 +1697,332 @@ def crawl_bfs_expansion(spark, sf_dir):
     return out.select(
         "epoch", "n_new", F.sum("n_new").over(w_cum).cast("long").alias("n_seen_total")
     )
+
+
+@query(
+    "url_trap_detect",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey AS k, {_SQL_HOST} AS host FROM part),
+    fetched AS (
+      SELECT host,
+             md5('c-' || CAST(CASE WHEN host = 'www.okx.com'
+                                   THEN k % 13 ELSE k END AS VARCHAR))
+               AS content_hash
+      FROM f)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_contents,
+           CAST(count(*) - count(DISTINCT content_hash) AS BIGINT)
+             AS wasted_fetches,
+           (count(*) >= 50 AND count(DISTINCT content_hash) * 10 < count(*))
+             AS is_trap
+    FROM fetched GROUP BY host
+    """,
+    doc="crawler-trap / crawl-budget audit: per host, fetches vs DISTINCT "
+    "content fingerprints. Trap hosts (calendar pages, session-id URL "
+    "explosions) mint unbounded URLs over a tiny content set; the audit "
+    "flags hosts with >=50 fetches whose content yield is under 10% "
+    "(integer compare n_contents*10 < n_fetches, no float threshold) so "
+    "the scheduler can cut their budget. wasted_fetches = refetches of "
+    "already-held content = the bandwidth a budget cut recovers. The "
+    "synthetic trap host (www.okx.com, content key k%13) reproduces the "
+    "shape in both engines. Scale: one groupBy(host) with a partial-agg "
+    "count + count(DISTINCT content_hash) (Expand-based, map-side "
+    "combined); per-host output is 4 small columns, and at 10^8 hosts "
+    "the agg shuffles once on the same host key the politeness "
+    "scheduler already partitions by. No joins, no Python.",
+)
+def url_trap_detect(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    k = F.col("p_partkey")
+    ckey = F.when(F.col("host") == "www.okx.com", k % 13).otherwise(k)
+    fetched = f.select(
+        "host",
+        F.md5(F.concat(F.lit("c-"), ckey.cast("string"))).alias("content_hash"),
+    )
+    agg = fetched.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.countDistinct("content_hash").cast("long").alias("n_contents"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_contents",
+        (F.col("n_fetches") - F.col("n_contents"))
+        .cast("long")
+        .alias("wasted_fetches"),
+        (
+            (F.col("n_fetches") >= 50)
+            & (F.col("n_contents") * 10 < F.col("n_fetches"))
+        ).alias("is_trap"),
+    )
+
+
+# mirror detection: content fingerprints shared by more hosts than this are
+# treated as boilerplate stop-hashes (cookie banners, 404 templates) and
+# excluded BEFORE the pair join — the cap bounds the per-hash join fanout
+# to <= cap*(cap-1)/2 pairs, which is what keeps the self-join linear in
+# the corpus instead of quadratic in host popularity.
+_MIRROR_STOPHASH_CAP = 8
+
+
+@query(
+    "mirror_host_detect",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey % 6 AS hid, p_partkey // 6 AS d FROM part),
+    pages AS (
+      SELECT DISTINCT
+             'h' || CAST(hid AS VARCHAR) || '.example.org' AS host,
+             md5(CASE WHEN hid <= 1 THEN 'm1-' || CAST(d AS VARCHAR)
+                      WHEN hid <= 3 AND d % 2 = 0
+                        THEN 'm2-' || CAST(d AS VARCHAR)
+                      ELSE 'u' || CAST(hid AS VARCHAR) || '-'
+                           || CAST(d AS VARCHAR)
+                 END) AS content_hash
+      FROM f),
+    keep AS (
+      SELECT content_hash FROM pages
+      GROUP BY content_hash HAVING count(*) <= {_MIRROR_STOPHASH_CAP}),
+    fp AS (
+      SELECT p.host, p.content_hash
+      FROM pages p JOIN keep USING (content_hash)),
+    sizes AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM fp GROUP BY host),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS shared_docs
+      FROM fp a JOIN fp b
+        ON a.content_hash = b.content_hash AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT host_a, host_b, shared_docs,
+           sa.n_docs AS n_docs_a, sb.n_docs AS n_docs_b,
+           CAST((100 * shared_docs)
+                // (sa.n_docs + sb.n_docs - shared_docs) AS BIGINT)
+             AS jaccard_pct,
+           (5 * shared_docs >= 4 * (sa.n_docs + sb.n_docs - shared_docs))
+             AS is_mirror
+    FROM pairs
+    JOIN sizes sa ON sa.host = pairs.host_a
+    JOIN sizes sb ON sb.host = pairs.host_b
+    """,
+    doc="mirror-host detection over content fingerprints: hosts serving "
+    "the same document set (exchange API mirrors, CDN vanity hosts) "
+    "waste crawl budget; pairs with content-set Jaccard >= 0.8 are "
+    "folded into one crawl identity. The synthetic corpus plants a full "
+    "mirror pair (h0,h1 share every doc), a partial overlap below "
+    "threshold (h2,h3 share the even half), and independent hosts. "
+    "Pipeline: DISTINCT (host, content_hash) pages -> stop-hash filter "
+    "(fingerprints on > cap hosts are boilerplate; the cap also bounds "
+    "the pair-join fanout per hash) -> self-join keyed ON content_hash "
+    "(shuffle on the hash, NEVER all host pairs) -> per-pair shared "
+    "count joined to per-host sizes. The mirror verdict is the exact "
+    "integer form 5*shared >= 4*union (no float Jaccard, no division "
+    "truncation at the threshold); jaccard_pct is integer-division "
+    "display only. Scale: pair cardinality <= n_hashes * cap^2/2; the "
+    "sizes join keys on host over the (tiny) surviving pair set, "
+    "broadcast-able by AQE when small.",
+)
+def mirror_host_detect(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    hid = (F.col("p_partkey") % 6).cast("long")
+    d = F.expr("p_partkey DIV 6")
+    ckey = (
+        F.when(hid <= 1, F.concat(F.lit("m1-"), d.cast("string")))
+        .when(
+            (hid <= 3) & (d % 2 == 0),
+            F.concat(F.lit("m2-"), d.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("u"), hid.cast("string"), F.lit("-"), d.cast("string")
+            )
+        )
+    )
+    # pages is consumed by four branches (stop-hash counts, both sides of
+    # the pair self-join, per-host sizes); the eager barrier derives the
+    # corpus-wide distinct ONCE instead of once per branch — at 10^10 docs
+    # that is the difference between 1 and 4 full scans+shuffles. The
+    # pinned frame is the compact (host, hash) projection, not the corpus.
+    pages = (
+        p.select(
+            F.concat(
+                F.lit("h"), hid.cast("string"), F.lit(".example.org")
+            ).alias("host"),
+            F.md5(ckey).alias("content_hash"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keep = (
+        pages.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .filter(F.col("n_hosts") <= _MIRROR_STOPHASH_CAP)
+        .select("content_hash")
+    )
+    fp = pages.join(keep, "content_hash")
+    sizes = fp.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_docs"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(
+                F.col("host").alias("host_a"), F.col("n_docs").alias("n_docs_a")
+            ),
+            "host_a",
+        )
+        .join(
+            sizes.select(
+                F.col("host").alias("host_b"), F.col("n_docs").alias("n_docs_b")
+            ),
+            "host_b",
+        )
+    )
+    union_sz = F.col("n_docs_a") + F.col("n_docs_b") - F.col("shared_docs")
+    return out.select(
+        "host_a",
+        "host_b",
+        "shared_docs",
+        "n_docs_a",
+        "n_docs_b",
+        F.expr(
+            "(100 * shared_docs) DIV (n_docs_a + n_docs_b - shared_docs)"
+        )
+        .cast("long")
+        .alias("jaccard_pct"),
+        (5 * F.col("shared_docs") >= 4 * union_sz).alias("is_mirror"),
+    )
+
+
+@query(
+    "dust_param_detect",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey % 50 AS b, p_partkey % 4 AS pg, p_partkey % 3 AS s
+      FROM part),
+    u AS (
+      SELECT b, pg, s,
+             'https://shop.example.org/item/' || CAST(b AS VARCHAR)
+               || '?page=' || CAST(pg AS VARCHAR)
+               || '&sessionid=' || CAST(s AS VARCHAR) AS url,
+             md5('c-' || CAST(b AS VARCHAR) || '-p' || CAST(pg AS VARCHAR))
+               AS content_hash
+      FROM f),
+    cand AS (
+      SELECT 'sessionid' AS param,
+             'item/' || CAST(b AS VARCHAR) || '?page=' || CAST(pg AS VARCHAR)
+               AS residual,
+             url, content_hash FROM u
+      UNION ALL
+      SELECT 'page',
+             'item/' || CAST(b AS VARCHAR) || '?sessionid='
+               || CAST(s AS VARCHAR),
+             url, content_hash FROM u),
+    g AS (
+      SELECT param, residual,
+             count(DISTINCT url) AS n_variants,
+             count(DISTINCT content_hash) AS n_contents
+      FROM cand GROUP BY param, residual)
+    SELECT param,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_groups,
+           CAST(sum(CASE WHEN n_variants > 1 AND n_contents = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_consistent_multi,
+           (sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) > 0 AND
+            sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) =
+            sum(CASE WHEN n_variants > 1 AND n_contents = 1
+                     THEN 1 ELSE 0 END)) AS is_irrelevant
+    FROM g GROUP BY param
+    """,
+    doc="DUST rule mining (Different URLs, Same Text — Bar-Yossef et al., "
+    "WWW'07, public literature): for each candidate query parameter, "
+    "group URLs by their param-REMOVED residual form; if every group "
+    "that actually varies the parameter (>1 URL variant) maps to ONE "
+    "content fingerprint, the parameter is content-irrelevant and the "
+    "canonicalizer can strip it corpus-wide (session ids, tracking "
+    "tags), collapsing the frontier BEFORE fetch. The synthetic corpus "
+    "plants an irrelevant 'sessionid' (content = f(item, page)) and a "
+    "load-bearing 'page'; single-variant groups are excluded from the "
+    "verdict (no evidence either way) but counted in n_groups. Scale: "
+    "one groupBy(param, residual) — shuffle keyed on the residual URL, "
+    "cardinality <= n_urls * n_candidate_params, partial-agg combined — "
+    "then a tiny per-param rollup; verdicts are exact integer/boolean "
+    "(equality of conditional counts, no ratio threshold). The verdict "
+    "table feeds url_canonicalize as host-scoped strip rules.",
+)
+def dust_param_detect(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = (k % 50).cast("long")
+    pg = (k % 4).cast("long")
+    s = (k % 3).cast("long")
+    u = p.select(
+        F.concat(
+            F.lit("https://shop.example.org/item/"),
+            base.cast("string"),
+            F.lit("?page="),
+            pg.cast("string"),
+            F.lit("&sessionid="),
+            s.cast("string"),
+        ).alias("url"),
+        F.md5(
+            F.concat(
+                F.lit("c-"), base.cast("string"), F.lit("-p"), pg.cast("string")
+            )
+        ).alias("content_hash"),
+        F.concat(
+            F.lit("item/"), base.cast("string"), F.lit("?page="),
+            pg.cast("string"),
+        ).alias("res_sessionid"),
+        F.concat(
+            F.lit("item/"), base.cast("string"), F.lit("?sessionid="),
+            s.cast("string"),
+        ).alias("res_page"),
+    )
+    cand = u.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sessionid").alias("param"),
+                    F.col("res_sessionid").alias("residual"),
+                ),
+                F.struct(
+                    F.lit("page").alias("param"),
+                    F.col("res_page").alias("residual"),
+                ),
+            )
+        ).alias("c"),
+        "url",
+        "content_hash",
+    ).select("c.param", "c.residual", "url", "content_hash")
+    g = cand.groupBy("param", "residual").agg(
+        F.countDistinct("url").alias("n_variants"),
+        F.countDistinct("content_hash").alias("n_contents"),
+    )
+    multi = F.when(F.col("n_variants") > 1, 1).otherwise(0)
+    consistent = F.when(
+        (F.col("n_variants") > 1) & (F.col("n_contents") == 1), 1
+    ).otherwise(0)
+    return g.groupBy("param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(multi).cast("long").alias("n_multi_groups"),
+        F.sum(consistent).cast("long").alias("n_consistent_multi"),
+        (
+            (F.sum(multi) > 0) & (F.sum(multi) == F.sum(consistent))
+        ).alias("is_irrelevant"),
+    )

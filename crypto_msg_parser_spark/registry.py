@@ -139,6 +139,17 @@ _PRIORITY = [
     "venue_arb_spread_1m",
     "corpus_split_leakfree",
     "trade_markout_5m",
+    # ---- (a3) crawl-hygiene additions (trap/budget audit, mirror-host
+    #      detection with the stop-hash cap, DUST param mining) — zero
+    #      driver history by construction, sampled the round they land.
+    #      The LAST three (d)-tail rows fall out of the 50-slot window
+    #      to make room: dedup_exact (r01+r02 driver-green),
+    #      neardup_ngram_jaccard (r02), ann_cosine_topk (r02) — their
+    #      families keep sampled members (the corpus flagships exercise
+    #      exact+near dedup end-to-end; ann_ivf_kmeans_gate covers ANN).
+    "url_trap_detect",
+    "mirror_host_detect",
+    "dust_param_detect",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",

@@ -805,3 +805,71 @@ def test_bfs_expansion_requires_accumulated_seen_set(spark):
     q = all_queries()["crawl_bfs_expansion"]
     rows = {r["epoch"]: r["n_new"] for r in q.spark_fn(spark, sf).collect()}
     assert rows[0] == seeds.count()
+
+
+def test_url_trap_detect_flags_low_yield_host(spark):
+    """The planted trap host (13 contents over hundreds of fetches) is the
+    ONLY flagged host at sf0.01, and wasted_fetches is the exact refetch
+    count. At sf0.001 the same host sits BELOW the 50-fetch evidence floor
+    (40 fetches, 13 contents) and must NOT be flagged — the floor exists
+    so thin hosts never get their budget cut on noise."""
+    from crypto_msg_parser_spark.crawl.queries import url_trap_detect
+
+    rows = {
+        r["host"]: r
+        for r in url_trap_detect(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["www.okx.com"]["is_trap"]
+    assert rows["www.okx.com"]["n_contents"] == 13
+    for host, r in rows.items():
+        assert r["wasted_fetches"] == r["n_fetches"] - r["n_contents"]
+        if host != "www.okx.com":
+            assert not r["is_trap"]
+            # healthy hosts mint one content per URL: zero waste
+            assert r["wasted_fetches"] == 0
+
+    small = {r["host"]: r for r in url_trap_detect(spark, SF_SMOKE).collect()}
+    assert small["www.okx.com"]["n_fetches"] < 50
+    assert not small["www.okx.com"]["is_trap"]
+
+
+def test_mirror_host_detect_thresholds(spark):
+    """Exactly two host pairs share any content: the planted full mirror
+    (Jaccard 1.0 -> flagged) and the half-overlap pair (Jaccard 1/3 ->
+    below the 0.8 integer threshold)."""
+    from crypto_msg_parser_spark.crawl.queries import mirror_host_detect
+
+    rows = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_detect(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        ("h0.example.org", "h1.example.org"),
+        ("h2.example.org", "h3.example.org"),
+    }
+    full = rows[("h0.example.org", "h1.example.org")]
+    assert full["is_mirror"] and full["jaccard_pct"] == 100
+    assert full["shared_docs"] == full["n_docs_a"] == full["n_docs_b"]
+    part = rows[("h2.example.org", "h3.example.org")]
+    assert not part["is_mirror"] and part["jaccard_pct"] < 80
+    # exact integer threshold: 5*shared vs 4*union, never a float compare
+    union = part["n_docs_a"] + part["n_docs_b"] - part["shared_docs"]
+    assert 5 * part["shared_docs"] < 4 * union
+
+
+def test_dust_param_detect_verdicts(spark):
+    """sessionid (content-invariant) is strippable; page (load-bearing)
+    is not; single-variant groups never count as evidence."""
+    from crypto_msg_parser_spark.crawl.queries import dust_param_detect
+
+    rows = {r["param"]: r for r in dust_param_detect(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"sessionid", "page"}
+    sess = rows["sessionid"]
+    assert sess["is_irrelevant"]
+    assert sess["n_multi_groups"] == sess["n_consistent_multi"] > 0
+    page = rows["page"]
+    assert not page["is_irrelevant"]
+    assert page["n_consistent_multi"] == 0  # every varying group changes content
+    # evidence accounting: multi groups never exceed total groups
+    for r in rows.values():
+        assert 0 < r["n_multi_groups"] <= r["n_groups"]
