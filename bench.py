@@ -192,6 +192,11 @@ HEADLINE = [
     "url_trap_detect",
     "mirror_host_detect",
     "dust_param_detect",
+    # r05 pipeline refinements: quality-aware dedup survivor, multimodal
+    # pack budget, registrable-domain rollup
+    "neardup_best_rep",
+    "interleaved_pack_budget",
+    "domain_budget_rollup",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -2026,3 +2026,80 @@ def dust_param_detect(spark, sf_dir):
             (F.sum(multi) > 0) & (F.sum(multi) == F.sum(consistent))
         ).alias("is_irrelevant"),
     )
+
+
+@query(
+    "domain_budget_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CASE p_partkey % 8
+               WHEN 0 THEN 'api.binance.com'
+               WHEN 1 THEN 'www.binance.com'
+               WHEN 2 THEN 'shop.example.co.uk'
+               WHEN 3 THEN 'blog.example.co.uk'
+               WHEN 4 THEN 'cdn.okx.com'
+               WHEN 5 THEN 'static.site.com.au'
+               WHEN 6 THEN 'www.site.com.au'
+               ELSE 'api.kraken.com'
+             END AS host
+      FROM part),
+    d AS (
+      SELECT k, host,
+             CASE WHEN regexp_extract(host,
+                      '[^.]+\\.(co\\.uk|com\\.au)$') <> ''
+                  THEN regexp_extract(host, '[^.]+\\.(co\\.uk|com\\.au)$')
+                  ELSE regexp_extract(host, '[^.]+\\.[^.]+$')
+             END AS domain
+      FROM f)
+    SELECT domain,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(k % 3 + 1) AS BIGINT) AS budget_total
+    FROM d GROUP BY domain
+    """,
+    doc="crawl-budget rollup at REGISTRABLE-domain granularity: politeness "
+    "and ownership live at the registered domain, not the hostname — "
+    "www./api./cdn. subdomains of one owner must share one budget, and "
+    "'example.co.uk' must NOT roll up to the public suffix 'co.uk'. The "
+    "suffix logic is a public-suffix-list-style rule set (publicsuffix"
+    ".org, public data) reduced to the two-part suffixes the synthetic "
+    "hosts exercise, applied as a codegen'd regex ladder: try "
+    "label.<two-part-suffix>$ first, fall back to the last two labels. "
+    "The synthesis plants two hosts per owner across .com/.co.uk/.com.au "
+    "so a last-two-labels-only implementation visibly over-merges "
+    "(co.uk would swallow every UK owner). Scale: per-row regex in "
+    "whole-stage codegen, then ONE groupBy(domain) (count + "
+    "count(DISTINCT host) via Expand, partial-agg combined) — domain "
+    "cardinality grows with the corpus, partitions stay bounded; the "
+    "full PSL at production is ~9k rules, still a broadcast-scale "
+    "literal table.",
+)
+def domain_budget_rollup(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    hid = k % 8
+    host = (
+        F.when(hid == 0, "api.binance.com")
+        .when(hid == 1, "www.binance.com")
+        .when(hid == 2, "shop.example.co.uk")
+        .when(hid == 3, "blog.example.co.uk")
+        .when(hid == 4, "cdn.okx.com")
+        .when(hid == 5, "static.site.com.au")
+        .when(hid == 6, "www.site.com.au")
+        .otherwise("api.kraken.com")
+    )
+    two_part = F.regexp_extract(host, r"[^.]+\.(co\.uk|com\.au)$", 0)
+    domain = F.when(two_part != "", two_part).otherwise(
+        F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+    )
+    d = p.select(
+        host.alias("host"),
+        domain.alias("domain"),
+        (k % 3 + 1).cast("long").alias("budget"),
+    )
+    return d.groupBy("domain").agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("budget").cast("long").alias("budget_total"),
+    )

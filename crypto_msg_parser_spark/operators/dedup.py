@@ -914,3 +914,94 @@ def corpus_split_leakfree(spark, sf_dir):
         F.col("component_id").isNotNull().alias("in_cluster"),
         F.when(key % 10 == 0, "holdout").otherwise("train").alias("split"),
     )
+
+
+@query(
+    "neardup_best_rep",
+    oracle=f"""
+    WITH RECURSIVE reps AS ({_SQL_REPS}),
+    hashed AS ({_SQL_HASHED}),
+    sig AS ({_SQL_SIG}),
+    bands AS ({_SQL_BANDS}),
+    {_SQL_ND_PAIRS},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM nd
+          UNION ALL SELECT doc_b, doc_a FROM nd),
+    reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, min(b) AS component_id
+      FROM (SELECT a, b FROM reach
+            UNION ALL SELECT DISTINCT a, a FROM e)
+      GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct
+      FROM documents),
+    m AS (
+      SELECT c.doc_id, c.component_id, q.n_distinct
+      FROM comp c JOIN q USING (doc_id)),
+    r AS (
+      SELECT m.*,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY n_distinct DESC, doc_id ASC) AS rn
+      FROM m),
+    s AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM m GROUP BY component_id)
+    SELECT r.component_id, r.doc_id AS rep_doc_id,
+           r.n_distinct AS rep_n_distinct, s.n_members,
+           (r.doc_id <> r.component_id) AS policy_changed
+    FROM r JOIN s USING (component_id) WHERE rn = 1
+    """,
+    doc="quality-aware canonical-representative selection for near-dup "
+    "clusters: production dedup keeps ONE doc per cluster, and 'min "
+    "doc_id' (the label-propagation default) keeps whichever URL was "
+    "crawled first — often the thinnest mirror of the page. This row "
+    "re-picks each component's survivor by an EXACT integer quality key "
+    "(distinct-word count, doc_id ascending as the total tie-break — no "
+    "float score, no ordering drift), and reports policy_changed = the "
+    "new survivor differs from the min-id one, i.e. how much content the "
+    "naive policy was discarding. Scale: the pair graph and components "
+    "come from the banded-LSH + min-label-propagation path (never "
+    "all-pairs); the ranking window partitions BY COMPONENT (bounded: "
+    "dup clusters are shallow), and the quality join touches only "
+    "clustered docs — a semi-join-sized subset of the corpus.",
+)
+def neardup_best_rep(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    pairs = neardup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    members = comp.join(quality, "doc_id")
+    ranked = members.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component_id").orderBy(
+                F.desc("n_distinct"), F.asc("doc_id")
+            )
+        ),
+    )
+    sizes = members.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(sizes, "component_id")
+        .select(
+            "component_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_distinct").alias("rep_n_distinct"),
+            "n_members",
+            (F.col("doc_id") != F.col("component_id")).alias("policy_changed"),
+        )
+    )

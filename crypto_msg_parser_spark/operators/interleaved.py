@@ -968,3 +968,89 @@ def docs_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "has_media boolean, n_docs long, n_roundtrip_ok long"
     )
+
+
+# ViT-L/14 at 336px: a 24x24 patch grid = 576 image tokens per media span
+# (public CLIP/LLaVA architecture constant) — the fixed context cost a
+# multimodal packer must budget for each interleaved image.
+MEDIA_TOKENS_PER_SPAN = 576
+
+
+@query(
+    "interleaved_pack_budget",
+    oracle=f"""
+    SELECT doc_id, text_tokens, media_tokens, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, text_tokens, media_tokens, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    w -> (length(w) + 3) // 4), 'sum') AS BIGINT)
+                 AS text_tokens,
+               CAST({MEDIA_TOKENS_PER_SPAN} * CASE WHEN doc_id % 7 = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS media_tokens,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    w -> (length(w) + 3) // 4), 'sum')
+                    + {MEDIA_TOKENS_PER_SPAN} * CASE WHEN doc_id % 7 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS n_tok
+        FROM documents))
+    """,
+    doc="modality-aware sequence packing over the interleaved corpus: "
+    "each doc's context cost = BPE-ish subword estimate of its text "
+    "(ceil(len/4) per word, the token_count convention) PLUS a fixed "
+    f"{MEDIA_TOKENS_PER_SPAN}-token budget per media span (ViT-L/14@336 "
+    "patch grid — the public constant multimodal trainers pack against). "
+    "The media-span count comes from the REAL interleaved span table "
+    "(synth_interleaved -> filter kind='media'), not the doc_id rule, so "
+    "a span-layout change surfaces here. Packing reuses the two-level "
+    "distributed prefix-sum (operators/corpus.pack_sequences): bounded "
+    "leaf/super windows, the only single-partition stage sees "
+    "n_docs/2^20 rows. Integer-exact end to end; the oracle is the "
+    "single global cumsum DuckDB can afford at test SF.",
+)
+def interleaved_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    inter = synth_interleaved(docs)
+    n_media = inter.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+        )
+        .cast("long")
+        .alias("n_media"),
+    )
+    words = F.split("text", " ")
+    text_tokens = F.aggregate(
+        F.transform(
+            words, lambda w: F.floor((F.length(w) + 3) / 4).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select("doc_id", text_tokens.alias("text_tokens"))
+    toks = base.join(n_media, "doc_id").select(
+        "doc_id",
+        "text_tokens",
+        (F.col("n_media") * MEDIA_TOKENS_PER_SPAN)
+        .cast("long")
+        .alias("media_tokens"),
+        (
+            F.col("text_tokens") + F.col("n_media") * MEDIA_TOKENS_PER_SPAN
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return pack_sequences(toks).select(
+        "doc_id",
+        "text_tokens",
+        "media_tokens",
+        "n_tok",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )

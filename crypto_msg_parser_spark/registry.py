@@ -150,6 +150,18 @@ _PRIORITY = [
     "url_trap_detect",
     "mirror_host_detect",
     "dust_param_detect",
+    # ---- (a4) pipeline-refinement additions: quality-aware near-dup
+    #      survivor selection, modality-aware interleaved packing,
+    #      registrable-domain budget rollup — zero driver history by
+    #      construction. Three more (d)-tail r02-green rows fall out of
+    #      the 50-slot window (q5_region_revenue, events_json_extract,
+    #      events_sessionize — the TPC-H family keeps q1_pricing_summary
+    #      (also the entry() smoke every round) and q3_shipping_priority;
+    #      the events family keeps events_tumbling_window's machinery via
+    #      events_stream_late_drop in the (c) block).
+    "neardup_best_rep",
+    "interleaved_pack_budget",
+    "domain_budget_rollup",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",

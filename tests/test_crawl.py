@@ -873,3 +873,21 @@ def test_dust_param_detect_verdicts(spark):
     # evidence accounting: multi groups never exceed total groups
     for r in rows.values():
         assert 0 < r["n_multi_groups"] <= r["n_groups"]
+
+
+def test_domain_budget_rollup_psl_semantics(spark):
+    """Subdomains of one owner merge; public suffixes never become the
+    rollup key (example.co.uk does not collapse into co.uk)."""
+    from crypto_msg_parser_spark.crawl.queries import domain_budget_rollup
+
+    rows = {r["domain"]: r for r in domain_budget_rollup(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "binance.com", "example.co.uk", "okx.com", "site.com.au", "kraken.com",
+    }
+    assert rows["binance.com"]["n_hosts"] == 2  # api. + www. share the budget
+    assert rows["example.co.uk"]["n_hosts"] == 2
+    assert rows["site.com.au"]["n_hosts"] == 2
+    # budget accounting is exact: per-URL budget is k%3+1
+    total = sum(r["budget_total"] for r in rows.values())
+    n = sum(r["n_urls"] for r in rows.values())
+    assert total == sum(k % 3 + 1 for k in range(n))

@@ -124,3 +124,51 @@ def test_minhash_lsh_reliable_checkpoint_parity(spark, tmp_path):
         ).collect()
     }
     assert local == reliable and local
+
+
+def test_neardup_best_rep_invariants(spark):
+    """The quality-picked representative is a real member of its component,
+    sizes agree with neardup_components, and policy_changed rows picked a
+    STRICTLY more diverse doc than the min-id survivor (ties go to min id,
+    so a tie can never flip the policy)."""
+    from pyspark.sql import functions as F
+
+    from crypto_msg_parser_spark.operators.dedup import (
+        neardup_best_rep,
+        neardup_components,
+    )
+    from crypto_msg_parser_spark.sources.testdata import load_table
+
+    comp = {
+        (r["doc_id"], r["component_id"]): r["n_members"]
+        for r in neardup_components(spark, SF).collect()
+    }
+    quality = {
+        r["doc_id"]: r["nd"]
+        for r in load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("nd"),
+        )
+        .collect()
+    }
+    rows = neardup_best_rep(spark, SF).collect()
+    assert rows
+    members_by_comp = {}
+    for (doc, cid), _n in comp.items():
+        members_by_comp.setdefault(cid, set()).add(doc)
+    assert set(r["component_id"] for r in rows) == set(members_by_comp)
+    changed = 0
+    for r in rows:
+        m = members_by_comp[r["component_id"]]
+        assert r["rep_doc_id"] in m
+        assert r["n_members"] == len(m)
+        # the rep maximizes (n_distinct, -doc_id) over the members
+        best = max(m, key=lambda d: (quality[d], -d))
+        assert r["rep_doc_id"] == best
+        assert r["rep_n_distinct"] == quality[best]
+        if r["policy_changed"]:
+            changed += 1
+            assert r["rep_doc_id"] != r["component_id"]
+            assert quality[r["rep_doc_id"]] > quality[r["component_id"]]
+    assert changed > 0  # the synthetic corpus exercises the policy delta

@@ -77,3 +77,30 @@ def test_signature_detects_span_reorder(spark):
         F.exists("spans", lambda s: s["kind"] == "media")
     ).count()
     assert changed == media_docs and media_docs > 0
+
+
+def test_interleaved_pack_budget_invariants(spark):
+    """Modality-aware packing: media docs carry exactly one 576-token
+    image budget, offsets are the exact prefix sum in doc_id order, and
+    pack_id is the offset's 256-token window."""
+    from crypto_msg_parser_spark.operators.corpus import PACK_TOKENS
+    from crypto_msg_parser_spark.operators.interleaved import (
+        MEDIA_TOKENS_PER_SPAN,
+        interleaved_pack_budget,
+    )
+
+    rows = sorted(
+        interleaved_pack_budget(spark, SF).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        expected_media = (
+            MEDIA_TOKENS_PER_SPAN if r["doc_id"] % 7 == 0 else 0
+        )
+        assert r["media_tokens"] == expected_media
+        assert r["n_tok"] == r["text_tokens"] + r["media_tokens"]
+        assert r["start_offset"] == cum
+        assert r["pack_id"] == cum // PACK_TOKENS
+        cum += r["n_tok"]
