@@ -197,6 +197,7 @@ HEADLINE = [
     "neardup_best_rep",
     "interleaved_pack_budget",
     "domain_budget_rollup",
+    "corpus_drift_topk",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -482,3 +482,95 @@ def length_percentiles_approx_by_source(spark, sf_dir):
         )
         cols.append(ok.alias(f"p{int(p * 100)}_ok"))
     return ranked.select(*cols)
+
+
+TOPK_DRIFT = 20
+_DRIFT_RATE_UNIT = 1_000_000  # micro-rate: word frequency per 1M tokens
+
+
+@query(
+    "corpus_drift_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    counts AS (
+      SELECT w AS word,
+             CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM tok GROUP BY w),
+    tot AS (
+      SELECT greatest(sum(n_a) // {_DRIFT_RATE_UNIT}, 1) AS div_a,
+             greatest(sum(n_b) // {_DRIFT_RATE_UNIT}, 1) AS div_b
+      FROM counts),
+    rated AS (
+      SELECT word, n_a, n_b,
+             CAST(n_a // div_a AS BIGINT) AS rate_a_micro,
+             CAST(n_b // div_b AS BIGINT) AS rate_b_micro
+      FROM counts CROSS JOIN tot)
+    SELECT word, n_a, n_b, rate_a_micro, rate_b_micro,
+           CAST(abs(rate_a_micro - rate_b_micro) AS BIGINT) AS drift_micro
+    FROM rated
+    ORDER BY drift_micro DESC, word ASC
+    LIMIT {TOPK_DRIFT}
+    """,
+    doc="corpus drift monitor between two snapshots (crawl waves, filter "
+    "versions): per word, the ABSOLUTE micro-rate divergence "
+    "|rate_A - rate_B| where rate = n // max(T // 1e6, 1) — a quantized "
+    "per-million frequency whose arithmetic stays inside int64 at ANY "
+    "corpus size (dividing the TOTAL first caps the divisor at T/1e6 "
+    "and never forms the n*1e6 product that overflows past ~9e12 "
+    "tokens; the naive cross-product n_a*T_b form overflows a thousand "
+    "times earlier). Top-k heavy drifters via ORDER BY LIMIT -> "
+    "TakeOrderedAndProject: each partition keeps k rows, no global "
+    "sort materializes. Snapshot split is doc_id parity (deterministic "
+    "stand-in for wave ids); the 1-row totals frame rides a documented "
+    "cross join. Ties break lexicographically for cross-engine "
+    "determinism. A production pipeline alerts on drift_micro spikes "
+    "before shipping a new crawl into training.",
+)
+def corpus_drift_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    counts = tok.groupBy(F.col("w").alias("word")).agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.greatest(
+            F.expr(f"sum(n_a) DIV {_DRIFT_RATE_UNIT}"), F.lit(1)
+        ).alias("div_a"),
+        F.greatest(
+            F.expr(f"sum(n_b) DIV {_DRIFT_RATE_UNIT}"), F.lit(1)
+        ).alias("div_b"),
+    )
+    rated = counts.crossJoin(tot).select(
+        "word",
+        "n_a",
+        "n_b",
+        F.expr("n_a DIV div_a").cast("long").alias("rate_a_micro"),
+        F.expr("n_b DIV div_b").cast("long").alias("rate_b_micro"),
+    )
+    return (
+        rated.select(
+            "word",
+            "n_a",
+            "n_b",
+            "rate_a_micro",
+            "rate_b_micro",
+            F.abs(F.col("rate_a_micro") - F.col("rate_b_micro"))
+            .cast("long")
+            .alias("drift_micro"),
+        )
+        .orderBy(F.desc("drift_micro"), F.asc("word"))
+        .limit(TOPK_DRIFT)
+    )

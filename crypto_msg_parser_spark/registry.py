@@ -162,6 +162,12 @@ _PRIORITY = [
     "neardup_best_rep",
     "interleaved_pack_budget",
     "domain_budget_rollup",
+    # ---- (a5) corpus drift monitor (int64-safe micro-rate divergence,
+    #      TakeOrderedAndProject top-k) — zero driver history by
+    #      construction. One more (d)-tail r02-green row falls out of
+    #      the window (q3_shipping_priority; TPC-H keeps
+    #      q1_pricing_summary, the every-round entry() smoke).
+    "corpus_drift_topk",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",

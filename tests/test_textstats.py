@@ -54,3 +54,36 @@ def test_length_percentiles_approx_gate_all_true(spark):
     assert rows
     for r in rows:
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], dict(r.asDict())
+
+
+def test_corpus_drift_topk_is_true_topk(spark):
+    """The TakeOrderedAndProject top-k equals the exact top-k recomputed
+    from full token counts, and every drift value is the quantized
+    micro-rate difference (int64-safe at any corpus size)."""
+    from collections import Counter
+
+    from crypto_msg_parser_spark.operators.textstats import (
+        TOPK_DRIFT,
+        _DRIFT_RATE_UNIT,
+        corpus_drift_topk,
+    )
+    from crypto_msg_parser_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    ca, cb = Counter(), Counter()
+    for r in docs:
+        (ca if r["doc_id"] % 2 == 0 else cb).update(r["text"].split(" "))
+    div_a = max(sum(ca.values()) // _DRIFT_RATE_UNIT, 1)
+    div_b = max(sum(cb.values()) // _DRIFT_RATE_UNIT, 1)
+    drift = {
+        w: abs(ca.get(w, 0) // div_a - cb.get(w, 0) // div_b)
+        for w in set(ca) | set(cb)
+    }
+    want = sorted(drift.items(), key=lambda t: (-t[1], t[0]))[:TOPK_DRIFT]
+
+    rows = corpus_drift_topk(spark, SF_ORACLE).collect()
+    assert [(r["word"], r["drift_micro"]) for r in rows] == want
+    for r in rows:
+        assert r["drift_micro"] == abs(r["rate_a_micro"] - r["rate_b_micro"])
+        assert r["rate_a_micro"] == r["n_a"] // div_a
+        assert r["rate_b_micro"] == r["n_b"] // div_b
