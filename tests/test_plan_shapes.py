@@ -45,11 +45,15 @@ def test_no_cartesian_products_anywhere(spark):
     # so it inherits ann_cosine_topk's intentional BNL scan — as does
     # ann_ivf_kmeans_gate, whose within-brute-bound invariant needs the
     # same broadcast-query-set x corpus pass
+    # corpus_drift_topk cross-joins the same kind of SINGLE-row global
+    # aggregate (the two snapshot token totals) — 1-row build side,
+    # bounded at any scale
     allowed_bnl = {
         "ann_cosine_topk",
         "ann_recall_report",
         "ann_ivf_kmeans_gate",
         "corpus_domain_rebalance",
+        "corpus_drift_topk",
     }
     for name in sorted(QUERIES):
         plan = _plan(spark, name)
