@@ -198,6 +198,8 @@ HEADLINE = [
     "interleaved_pack_budget",
     "domain_budget_rollup",
     "corpus_drift_topk",
+    "quoted_spread_tw_1h",
+    "sitemap_coverage_audit",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -2103,3 +2103,87 @@ def domain_budget_rollup(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.sum("budget").cast("long").alias("budget_total"),
     )
+
+
+@query(
+    "sitemap_coverage_audit",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey AS k, {_SQL_FRONTIER_URL} AS url, {_SQL_HOST} AS host
+      FROM part),
+    listed AS (SELECT url, host FROM f WHERE k % 3 <> 2),
+    crawled AS (SELECT url, host FROM f WHERE k % 2 = 0),
+    j AS (
+      SELECT coalesce(l.host, c.host) AS host,
+             (l.url IS NOT NULL) AS in_sitemap,
+             (c.url IS NOT NULL) AS is_crawled
+      FROM listed l FULL OUTER JOIN crawled c ON l.url = c.url)
+    SELECT host,
+           CAST(sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_listed,
+           CAST(sum(CASE WHEN is_crawled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crawled,
+           CAST(sum(CASE WHEN in_sitemap AND is_crawled
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN is_crawled AND NOT in_sitemap
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_crawled,
+           CAST(sum(CASE WHEN in_sitemap AND NOT is_crawled
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_backlog,
+           CAST((100 * sum(CASE WHEN in_sitemap AND is_crawled
+                           THEN 1 ELSE 0 END))
+                // greatest(sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS coverage_pct
+    FROM j GROUP BY host
+    """,
+    doc="sitemap-vs-crawl coverage audit per host: the reconciliation "
+    "report crawl ops teams run after every wave — n_backlog (listed in "
+    "the sitemap, never crawled = discovery debt the scheduler must "
+    "drain), n_orphan_crawled (crawled but absent from the sitemap = "
+    "link-discovered pages the publisher forgot to list, often stale), "
+    "and integer coverage_pct = 100*both // listed (greatest(...,1) "
+    "guards empty sitemaps). The two sets are joined as REAL frames via "
+    "a FULL OUTER equi-join on the canonical URL — the null-side flags "
+    "are the audit signal, so the join type is load-bearing (an inner "
+    "join silently drops both failure modes). Scale: one shuffle on the "
+    "url key (the same key the seen-set layout buckets by), then a "
+    "partial-agg groupBy(host); the synthetic sets overlap 1/3 by CRT "
+    "(k%3<>2 listed, k%2=0 crawled) so all four quadrants are non-empty.",
+)
+def sitemap_coverage_audit(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    k = F.col("p_partkey")
+    listed = f.filter(k % 3 != 2).select("url", "host")
+    crawled = f.filter(k % 2 == 0).select(
+        F.col("url").alias("c_url"), F.col("host").alias("c_host")
+    )
+    j = listed.join(
+        crawled, listed["url"] == crawled["c_url"], "full_outer"
+    ).select(
+        F.coalesce(F.col("host"), F.col("c_host")).alias("host"),
+        F.col("url").isNotNull().alias("in_sitemap"),
+        F.col("c_url").isNotNull().alias("is_crawled"),
+    )
+    both = F.when(F.col("in_sitemap") & F.col("is_crawled"), 1).otherwise(0)
+    listed_n = F.when(F.col("in_sitemap"), 1).otherwise(0)
+    return j.groupBy("host").agg(
+        F.sum(listed_n).cast("long").alias("n_listed"),
+        F.sum(F.when(F.col("is_crawled"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_crawled"),
+        F.sum(both).cast("long").alias("n_both"),
+        F.sum(
+            F.when(F.col("is_crawled") & ~F.col("in_sitemap"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orphan_crawled"),
+        F.sum(
+            F.when(F.col("in_sitemap") & ~F.col("is_crawled"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_backlog"),
+        F.expr(
+            "CAST((100 * sum(CASE WHEN in_sitemap AND is_crawled THEN 1 "
+            "ELSE 0 END)) DIV greatest(sum(CASE WHEN in_sitemap THEN 1 "
+            "ELSE 0 END), 1) AS BIGINT)"
+        ).alias("coverage_pct"),
+    )

@@ -4748,3 +4748,154 @@ def trade_markout_5m(spark, sf_dir):
             / F.lit(100.0),
         ).alias("avg_eff_spread_usd"),
     )
+
+
+def _tw_quote_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quote tape for time-weighted spread metrics.
+
+    lineitem carries duplicate (l_orderkey, l_linenumber) pairs, so the
+    msg id / orderkey clocks other wires use would collide here and make
+    lead()-based durations tie-ambiguous. This wire assigns each quote a
+    per-symbol row_number over (l_orderkey, l_linenumber, l_extendedprice,
+    l_quantity) and clocks quotes 1 s apart on that rank (so the driver's sf0.01 tape spans multiple hour buckets per pair): rows still
+    tied after the 4-column key are byte-identical in every field the
+    spread computation reads, so whichever ordering either engine picks,
+    the (ts, spread) multiset is invariant — the same neutralization
+    stream_book_resync uses. The ranking window is SYNTH-side tape
+    construction (a real tape arrives with real timestamps); the TWAS
+    operator itself only ever windows per (pair, hour), which is bounded.
+    Spread varies with l_orderkey %% 5 (200..208 cents) so the
+    time-weighting is load-bearing, and the wire goes through the REAL
+    binance bookTicker parse arm (reference: binance_all.rs bookTicker).
+    """
+    from pyspark.sql import Window as W
+
+    li = _msg_source(spark, sf_dir)
+    sym = _spot_symbol()
+    w = W.partitionBy(F.col("l_partkey") % 4).orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    ranked = li.withColumn("_rn", F.row_number().over(w))
+    delta = F.round(F.lit(1.0) + (F.col("l_orderkey") % 5) * 0.01, 2)
+    p = F.col("l_extendedprice")
+    msg = F.format_string(
+        '{"stream":"%s@bookTicker","data":{"u":%d,"s":"%s",'
+        '"b":"%.2f","B":"%.1f","a":"%.2f","A":"%.1f"}}',
+        F.lower(sym),
+        F.col("_rn"),
+        sym,
+        F.round(p - delta, 2),
+        F.col("l_quantity"),
+        F.round(p + delta, 2),
+        F.col("l_quantity") + 1,
+    )
+    ts = F.lit(_BASE_TS) + F.col("_rn") * 1000
+    return (
+        ranked.select(
+            _msg_id().alias("msg_id"),
+            ts.alias("received_at"),
+            msg.alias("msg"),
+        )
+        .localCheckpoint(eager=False)
+        .select(
+            "msg_id",
+            F.lit("binance").alias("exchange"),
+            F.lit("spot").alias("market_type"),
+            "received_at",
+            "msg",
+        )
+    )
+
+
+@query(
+    "quoted_spread_tw_1h",
+    oracle=f"""
+    WITH r AS (
+      SELECT {_SQL_SPOT_PAIR} AS pair,
+             row_number() OVER (PARTITION BY l_partkey % 4
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+                        l_quantity) AS rn,
+             CAST(round(round(l_extendedprice
+                    + round(1 + (l_orderkey % 5) * 0.01, 2), 2) * 100)
+                  AS BIGINT)
+             - CAST(round(round(l_extendedprice
+                    - round(1 + (l_orderkey % 5) * 0.01, 2), 2) * 100)
+                    AS BIGINT) AS spread_cents
+      FROM lineitem),
+    q AS (
+      SELECT pair, {_BASE_TS} + rn * 1000 AS ts, spread_cents FROM r),
+    h AS (
+      SELECT pair, ts, spread_cents,
+             ts - ts % 3600000 AS hour_start FROM q),
+    d AS (
+      SELECT pair, hour_start, spread_cents,
+             coalesce(lead(ts) OVER (PARTITION BY pair, hour_start
+                                     ORDER BY ts),
+                      hour_start + 3600000) - ts AS dur
+      FROM h)
+    SELECT pair, hour_start,
+           CAST(count(*) AS BIGINT) AS n_quotes,
+           CAST(sum(spread_cents * dur) AS BIGINT) AS sum_spread_dur,
+           CAST(sum(dur) AS BIGINT) AS dur_ms_total,
+           CAST((1000 * sum(spread_cents * dur)) // sum(dur) AS BIGINT)
+             AS twas_millicents
+    FROM d GROUP BY pair, hour_start
+    """,
+    doc="time-weighted average quoted spread per symbol-hour (the TCA "
+    "companion to trade_markout_5m's trade-weighted effective spread: "
+    "quoted liquidity is weighted by how LONG each quote stood, not by "
+    "how often quotes ticked). Each parsed bookTicker quote (real "
+    "binance parse arm over the rank-clocked wire, see _tw_quote_wire) "
+    "holds until the next quote in its (pair, hour); the hour's last "
+    "quote extends to the hour boundary, and carry-in across hours is "
+    "deliberately truncated (each hour starts at its first quote — "
+    "documented simplification, not a tie hazard). The statistic is the "
+    "ratio-of-sums form a distributed engine can make exact: "
+    "sum(spread_cents*dur_ms) and sum(dur_ms) are both exact BIGINTs "
+    "(per-row product <= ~7.5e8, per-hour sums <= ~2.7e13, the *1000 "
+    "display division still < 2^63), the average-of-ratios form is "
+    "rejected for the same partial-agg-order reason as Amihud. Scale: "
+    "one shuffle to (pair) for the lead() window partitioned per "
+    "(pair, hour) — bounded at 3.6k quotes/hour by the tape cadence — "
+    "then a partial-agg groupBy on the same key.",
+)
+def quoted_spread_tw_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    bbo = binance.parse_bbo(_tw_quote_wire(spark, sf_dir))
+    q = bbo.select(
+        "pair",
+        F.col("timestamp").alias("ts"),
+        (cents(F.col("ask_price")) - cents(F.col("bid_price"))).alias(
+            "spread_cents"
+        ),
+        (F.col("timestamp") - F.col("timestamp") % 3600000).alias(
+            "hour_start"
+        ),
+    )
+    w = W.partitionBy("pair", "hour_start").orderBy("ts")
+    d = q.select(
+        "pair",
+        "hour_start",
+        "spread_cents",
+        (
+            F.coalesce(
+                F.lead("ts").over(w), F.col("hour_start") + 3600000
+            )
+            - F.col("ts")
+        ).alias("dur"),
+    )
+    return d.groupBy("pair", "hour_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quotes"),
+        F.sum(F.col("spread_cents") * F.col("dur"))
+        .cast("long")
+        .alias("sum_spread_dur"),
+        F.sum("dur").cast("long").alias("dur_ms_total"),
+        F.expr(
+            "(1000 * sum(spread_cents * dur)) DIV sum(dur)"
+        )
+        .cast("long")
+        .alias("twas_millicents"),
+    )

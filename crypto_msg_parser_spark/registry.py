@@ -168,6 +168,14 @@ _PRIORITY = [
     #      the window (q3_shipping_priority; TPC-H keeps
     #      q1_pricing_summary, the every-round entry() smoke).
     "corpus_drift_topk",
+    # ---- (a6) TCA time-weighted quoted spread + sitemap reconciliation
+    #      audit — zero driver history by construction. Two more (d)-tail
+    #      rows yield (q1_pricing_summary leaves the WINDOW ONLY — it
+    #      keeps fresh evidence as the every-round entry() smoke;
+    #      array_ops_levels is r02-green and its scalar-fn family keeps
+    #      round9_convention in the window).
+    "quoted_spread_tw_1h",
+    "sitemap_coverage_audit",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",

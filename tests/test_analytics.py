@@ -263,3 +263,48 @@ def test_markout_decomposition_identity(spark):
         else:
             assert r.avg_eff_spread_usd is None
     assert saw_partial, "exclusion path never exercised at smoke SF"
+
+
+def test_quoted_spread_tw_durations_tile_the_tape(spark):
+    """TWAS invariants: per pair, the hour durations tile exactly from the
+    first quote to the last hour's end (no gaps, no double counting);
+    the display ratio is the integer identity over the two exact sums;
+    every TWAS sits inside the synthesized 200..208-cent spread band."""
+    from crypto_msg_parser_spark.parser.queries import (
+        _BASE_TS,
+        quoted_spread_tw_1h,
+    )
+    from crypto_msg_parser_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = quoted_spread_tw_1h(spark, SF_SMOKE).collect()
+    assert rows
+    per_pair_quotes = {}
+    per_pair_dur = {}
+    for r in rows:
+        assert r["twas_millicents"] == (
+            1000 * r["sum_spread_dur"]
+        ) // r["dur_ms_total"]
+        assert 200_000 <= r["twas_millicents"] <= 208_000
+        per_pair_quotes[r["pair"]] = (
+            per_pair_quotes.get(r["pair"], 0) + r["n_quotes"]
+        )
+        per_pair_dur[r["pair"]] = (
+            per_pair_dur.get(r["pair"], 0) + r["dur_ms_total"]
+        )
+        # hour bucket is aligned and the tape clock starts after the epoch
+        assert r["hour_start"] % 3600000 == 0
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    import collections
+
+    sym_counts = collections.Counter(r["l_partkey"] % 4 for r in li)
+    pair_of = {0: "BTC/USDT", 1: "ETH/USDT", 2: "DOGE/USDT", 3: "BNB/BTC"}
+    want_counts = collections.Counter()
+    for c, n in sym_counts.items():
+        want_counts[pair_of[c]] += n
+    assert per_pair_quotes == dict(want_counts)
+    for pair, n in want_counts.items():
+        last_ts = _BASE_TS + n * 1000
+        last_hour_end = (last_ts - last_ts % 3600000) + 3600000
+        assert per_pair_dur[pair] == last_hour_end - (_BASE_TS + 1000)
