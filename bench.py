@@ -200,6 +200,8 @@ HEADLINE = [
     "corpus_drift_topk",
     "quoted_spread_tw_1h",
     "sitemap_coverage_audit",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -663,3 +663,160 @@ def events_json_extract(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS reached_stage
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    doc="ordered funnel conversion (view -> click -> purchase, STRICT "
+    "time sequence): per user, the first view, the first click AFTER "
+    "that view, the first purchase AFTER that click — the min-after-min "
+    "chain, not min-per-type (a user whose only clicks precede every "
+    "view must NOT convert; the synthetic events exercise this). Each "
+    "stage is one groupBy(user_id) + one equi-join back to the event "
+    "stream on the SAME user key — co-partitioned all the way, no "
+    "window over the full stream, no per-user event-list collect; a "
+    "k-step funnel iterates the same stage shape. Timestamps pass "
+    "through untouched (microsecond TimestampType both engines).",
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.cast("int").alias("reached_stage"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    a AS (
+      SELECT s.cohort_week,
+             CAST(date_diff('day', s.cohort_week,
+                  date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset,
+             e.user_id
+      FROM events e JOIN s ON s.user_id = e.user_id),
+    act AS (
+      SELECT cohort_week, week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM a WHERE week_offset >= 0 GROUP BY cohort_week, week_offset),
+    cs AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM s GROUP BY cohort_week)
+    SELECT act.cohort_week, act.week_offset, act.n_active, cs.n_cohort,
+           CAST((100 * act.n_active) // cs.n_cohort AS BIGINT)
+             AS retention_pct
+    FROM act JOIN cs ON cs.cohort_week = act.cohort_week
+    """,
+    doc="weekly retention-cohort matrix: users cohorted by the ISO week "
+    "of their FIRST signup event; each later event marks them active in "
+    "week_offset = (activity week - cohort week) in whole weeks, both "
+    "sides week-truncated BEFORE the day diff so the division by 7 is "
+    "exact (date_trunc('week') is ISO-Monday in Spark and DuckDB "
+    "alike); pre-signup activity (negative offset) is excluded. "
+    "retention_pct is the exact integer 100*active // cohort_size. "
+    "Scale: one groupBy(user) for cohorts, one user-keyed equi-join, "
+    "one groupBy(cohort_week, offset) with a distinct-count (Expand, "
+    "partial-agg) — the matrix itself is weeks x offsets, metadata-"
+    "sized, and the cohort-size join rides it.",
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    a = ev.join(s, "user_id").select(
+        "cohort_week",
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")),
+                F.col("cohort_week"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    act = (
+        a.filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    cs = s.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return act.join(cs, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("(100 * n_active) DIV n_cohort")
+        .cast("long")
+        .alias("retention_pct"),
+    )

@@ -176,6 +176,16 @@ _PRIORITY = [
     #      round9_convention in the window).
     "quoted_spread_tw_1h",
     "sitemap_coverage_audit",
+    # ---- (a7) product-analytics staples over the events table: strict
+    #      ordered funnel + weekly retention cohorts — zero driver
+    #      history by construction. Two more (d)-tail r02-green rows
+    #      fall out of the 50-slot window (window_topk_per_group and
+    #      round9_convention — the window family keeps
+    #      window_running_sum in-window, and round9 semantics stay
+    #      driver-exercised through every parse-ladder row's
+    #      multiply/round/divide quantity math).
+    "events_funnel_conversion",
+    "events_retention_cohorts",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",

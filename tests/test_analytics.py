@@ -308,3 +308,99 @@ def test_quoted_spread_tw_durations_tile_the_tape(spark):
         last_ts = _BASE_TS + n * 1000
         last_hour_end = (last_ts - last_ts % 3600000) + 3600000
         assert per_pair_dur[pair] == last_hour_end - (_BASE_TS + 1000)
+
+
+def test_events_funnel_strict_sequencing(spark):
+    """Funnel stages must be strictly time-ordered per user: recompute
+    the min-after-min chain event-by-event in Python and require exact
+    equality — a min-per-type implementation (ignoring order) would
+    promote users whose clicks all precede their first view."""
+    from crypto_msg_parser_spark.plans.relational import (
+        events_funnel_conversion,
+    )
+    from crypto_msg_parser_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    want = {}
+    naive_differs = 0
+    for uid, rows in by_user.items():
+        t_view = min((t for t, k in rows if k == "view"), default=None)
+        t_click = (
+            min((t for t, k in rows if k == "click" and t > t_view), default=None)
+            if t_view
+            else None
+        )
+        t_purchase = (
+            min(
+                (t for t, k in rows if k == "purchase" and t > t_click),
+                default=None,
+            )
+            if t_click
+            else None
+        )
+        stage = 3 if t_purchase else 2 if t_click else 1 if t_view else 0
+        want[uid] = (t_view, t_click, t_purchase, stage)
+        # does strict sequencing actually bind on this corpus?
+        naive_click = min((t for t, k in rows if k == "click"), default=None)
+        if t_view and naive_click and naive_click <= t_view:
+            naive_differs += 1
+
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"], r["reached_stage"])
+        for r in events_funnel_conversion(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert naive_differs > 0  # the corpus exercises the ordering trap
+
+
+def test_events_retention_cohorts_recompute(spark):
+    """Retention matrix equals a cell-by-cell Python recompute (ISO-Monday
+    week truncation, whole-week offsets, distinct active users)."""
+    import datetime
+
+    from crypto_msg_parser_spark.plans.relational import (
+        events_retention_cohorts,
+    )
+    from crypto_msg_parser_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    def week(ts):
+        d = ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        return datetime.datetime.combine(monday, datetime.time())
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    signup = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in signup or r["ts"] < signup[r["user_id"]]:
+                signup[r["user_id"]] = r["ts"]
+    cohort = {u: week(t) for u, t in signup.items()}
+    active = {}
+    for r in ev:
+        u = r["user_id"]
+        if u not in cohort:
+            continue
+        off = (week(r["ts"]) - cohort[u]).days // 7
+        if off >= 0:
+            active.setdefault((cohort[u], off), set()).add(u)
+    sizes = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    want = {
+        (cw, off): (len(us), sizes[cw], (100 * len(us)) // sizes[cw])
+        for (cw, off), us in active.items()
+    }
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"],
+            r["n_cohort"],
+            r["retention_pct"],
+        )
+        for r in events_retention_cohorts(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
