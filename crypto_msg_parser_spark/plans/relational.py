@@ -750,7 +750,7 @@ def events_funnel_conversion(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT user_id,
-             date_trunc('week', min(ts)) AS cohort_week
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
       FROM events WHERE event_type = 'signup' GROUP BY user_id),
     a AS (
       SELECT s.cohort_week,
