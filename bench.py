@@ -202,6 +202,9 @@ HEADLINE = [
     "sitemap_coverage_audit",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    # r05 microstructure staples: microprice/depth imbalance + VPIN
+    "microprice_imbalance_1m",
+    "vpin_toxicity",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

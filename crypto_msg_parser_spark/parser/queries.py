@@ -4899,3 +4899,241 @@ def quoted_spread_tw_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twas_millicents"),
     )
+
+
+@query(
+    "microprice_imbalance_1m",
+    oracle=f"""
+    WITH r AS (
+      SELECT {_SQL_SPOT_PAIR} AS pair,
+             row_number() OVER (PARTITION BY l_partkey % 4
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+                        l_quantity) AS rn,
+             CAST(round(round(l_extendedprice
+                    + round(1 + (l_orderkey % 5) * 0.01, 2), 2) * 100)
+                  AS BIGINT) AS ask_cents,
+             CAST(round(round(l_extendedprice
+                    - round(1 + (l_orderkey % 5) * 0.01, 2), 2) * 100)
+                  AS BIGINT) AS bid_cents,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS bidq_deci,
+             CAST(round(round(l_quantity + 1, 1) * 10) AS BIGINT) AS askq_deci
+      FROM lineitem),
+    q AS (
+      SELECT pair, {_BASE_TS} + rn * 1000 AS ts,
+             ask_cents * bidq_deci + bid_cents * askq_deci AS micro_num,
+             bidq_deci + askq_deci AS micro_den,
+             bid_cents + ask_cents AS mid_twice_cents,
+             bidq_deci, askq_deci
+      FROM r)
+    SELECT pair,
+           ts - ts % 60000 AS window_start,
+           CAST(count(*) AS BIGINT) AS n_quotes,
+           CAST(sum(bidq_deci) AS BIGINT) AS bid_depth_deci,
+           CAST(sum(askq_deci) AS BIGINT) AS ask_depth_deci,
+           CAST(sum(bidq_deci) - sum(askq_deci) AS DOUBLE)
+             / (sum(bidq_deci) + sum(askq_deci)) AS depth_imbalance,
+           CAST(arg_max(micro_num, ts) AS BIGINT) AS close_micro_num,
+           CAST(arg_max(micro_den, ts) AS BIGINT) AS close_micro_den,
+           CAST(arg_max(micro_num, ts) AS DOUBLE)
+             / arg_max(micro_den, ts) / 100.0 AS close_microprice,
+           CAST(arg_max(micro_num, ts) AS DOUBLE) / arg_max(micro_den, ts)
+             - arg_max(mid_twice_cents, ts) / 2.0
+             AS close_micro_premium_cents
+    FROM q GROUP BY pair, ts - ts % 60000
+    """,
+    doc="Stoikov microprice + resting-depth imbalance per pair-minute "
+    "over the REAL binance bookTicker parse arm (same rank-clocked "
+    "quote tape as quoted_spread_tw_1h; reference: binance_all.rs "
+    "parse_bbo). The microprice weights each side's price by the "
+    "OPPOSITE side's resting size — micro = (ask*Qb + bid*Qa)/(Qb+Qa) "
+    "— the standard short-horizon fair-value estimator; it is carried "
+    "as an exact integer ratio (cents x deci-qty numerator, deci-qty "
+    "denominator, per-quote products <= ~7e7 so minute sums are "
+    "nowhere near int64) and the published doubles are single IEEE "
+    "division chains on those integers, written in the same op order "
+    "in both engines. Minute-close selection is arg_max/max_by on the "
+    "quote ts, which the wire makes unique per pair (1 s rank clock), "
+    "so the close is tie-free by construction; depth imbalance is the "
+    "ratio-of-sums form (exact integer sums, one final division), not "
+    "an average of per-quote ratios, for the usual partial-agg-order "
+    "reason. Scale: one shuffle to (pair, minute) partial-agg groupBy; "
+    "max_by rides the same aggregate — no window, no second shuffle.",
+)
+def microprice_imbalance_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_msg_parser_spark.plans.money import cents
+
+    bbo = binance.parse_bbo(_tw_quote_wire(spark, sf_dir))
+    q = bbo.select(
+        "pair",
+        F.col("timestamp").alias("ts"),
+        cents(F.col("bid_price")).alias("bid_cents"),
+        cents(F.col("ask_price")).alias("ask_cents"),
+        F.round(F.col("bid_quantity_base") * 10)
+        .cast("long")
+        .alias("bidq_deci"),
+        F.round(F.col("ask_quantity_base") * 10)
+        .cast("long")
+        .alias("askq_deci"),
+    ).select(
+        "pair",
+        "ts",
+        (
+            F.col("ask_cents") * F.col("bidq_deci")
+            + F.col("bid_cents") * F.col("askq_deci")
+        ).alias("micro_num"),
+        (F.col("bidq_deci") + F.col("askq_deci")).alias("micro_den"),
+        (F.col("bid_cents") + F.col("ask_cents")).alias("mid_twice_cents"),
+        "bidq_deci",
+        "askq_deci",
+    )
+    sb = F.sum("bidq_deci").cast("long")
+    sa = F.sum("askq_deci").cast("long")
+    num = F.max_by("micro_num", "ts")
+    den = F.max_by("micro_den", "ts")
+    return q.groupBy(
+        "pair", (F.col("ts") - F.col("ts") % 60000).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_quotes"),
+        sb.alias("bid_depth_deci"),
+        sa.alias("ask_depth_deci"),
+        ((sb - sa).cast("double") / (sb + sa)).alias("depth_imbalance"),
+        num.cast("long").alias("close_micro_num"),
+        den.cast("long").alias("close_micro_den"),
+        (num.cast("double") / den / F.lit(100.0)).alias("close_microprice"),
+        (
+            num.cast("double") / den
+            - F.max_by("mid_twice_cents", "ts") / F.lit(2.0)
+        ).alias("close_micro_premium_cents"),
+    )
+
+
+@query(
+    "vpin_toxicity",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_SQL_SPOT_SYMBOL} AS symbol,
+             {_BASE_TS} + l_orderkey AS ts,
+             l_orderkey * 10 + l_linenumber AS tid,
+             {_SQL_SIDE} AS side,
+             CAST(round(round(l_extendedprice, 2) * 100) AS BIGINT)
+               AS price_cents,
+             CAST(round(round(l_quantity, 1) * 10) AS BIGINT) AS qty_deci
+      FROM lineitem),
+    r AS (
+      SELECT symbol, side, qty_deci,
+             row_number() OVER (PARTITION BY symbol
+               ORDER BY ts, tid, price_cents, qty_deci) AS rn
+      FROM t),
+    c AS (
+      SELECT symbol, side, qty_deci,
+             coalesce(sum(qty_deci) OVER (PARTITION BY symbol ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM r),
+    b AS (
+      SELECT symbol, cum_before // 2000 AS bucket_id,
+             CASE WHEN side = 'buy' THEN qty_deci ELSE 0 END AS buy_deci,
+             CASE WHEN side = 'sell' THEN qty_deci ELSE 0 END AS sell_deci,
+             qty_deci
+      FROM c),
+    agg AS (
+      SELECT symbol, bucket_id,
+             sum(buy_deci) AS buy_deci, sum(sell_deci) AS sell_deci,
+             sum(qty_deci) AS tot_deci
+      FROM b GROUP BY symbol, bucket_id),
+    mx AS (SELECT symbol, max(bucket_id) AS last_bucket FROM agg
+           GROUP BY symbol)
+    SELECT agg.symbol,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(abs(buy_deci - sell_deci)) AS BIGINT)
+             AS abs_imb_deci,
+           CAST(sum(tot_deci) AS BIGINT) AS vol_deci,
+           CAST(sum(abs(buy_deci - sell_deci)) AS DOUBLE) / sum(tot_deci)
+             AS vpin
+    FROM agg JOIN mx ON mx.symbol = agg.symbol
+    WHERE agg.bucket_id < mx.last_bucket
+    GROUP BY agg.symbol
+    """,
+    doc="VPIN flow toxicity (Easley, Lopez de Prado & O'Hara 2012) per "
+    "symbol over the REAL binance aggTrade parse arm: trades are laid "
+    "on the volume clock — each fill joins bucket floor(cumulative "
+    "deci-volume-before / 2000) — and VPIN is sum|buy-sell| / sum(vol) "
+    "over COMPLETE buckets (the trailing partial bucket is excluded "
+    "via a max(bucket_id) anti-filter; trades are not split across "
+    "buckets — documented simplification, the bucket totals land in "
+    "the denominator so no volume is double-counted). Every sum is an "
+    "exact integer in deci-units; the published VPIN is one final IEEE "
+    "division (ratio of sums, never an average of per-bucket ratios). "
+    "The volume clock needs a per-symbol total order: rows are ranked "
+    "by (ts, trade_id, price_cents, qty_deci) — lineitem's duplicate "
+    "(l_orderkey, l_linenumber) pairs make (ts, trade_id) alone "
+    "tie-ambiguous, and rows still tied after all four keys are "
+    "byte-identical in every field the clock reads, so the cumulative "
+    "trajectory is order-invariant (the stream_book_resync "
+    "neutralization). Scale: one shuffle to symbol for the two "
+    "same-key windows (rank + running sum reuse the partitioning), "
+    "one partial-agg groupBy(symbol, bucket) riding it, and a "
+    "broadcast-sized last-bucket join; a production deployment shards "
+    "the clock per (symbol, session-epoch) so no single partition "
+    "carries a symbol's full history — the composition is unchanged.",
+)
+def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    parsed = binance.parse_trade(_spot_trade_msgs(spark, sf_dir))
+    t = parsed.select(
+        "symbol",
+        F.col("timestamp").alias("ts"),
+        F.col("trade_id").cast("long").alias("tid"),
+        "side",
+        cents(F.col("price")).alias("price_cents"),
+        F.round(F.col("quantity_base") * 10).cast("long").alias("qty_deci"),
+    )
+    wrank = W.partitionBy("symbol").orderBy(
+        "ts", "tid", "price_cents", "qty_deci"
+    )
+    r = t.withColumn("rn", F.row_number().over(wrank))
+    wcum = (
+        W.partitionBy("symbol")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = r.select(
+        "symbol",
+        "side",
+        "qty_deci",
+        F.coalesce(F.sum("qty_deci").over(wcum), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    b = c.select(
+        "symbol",
+        F.expr("cum_before DIV 2000").alias("bucket_id"),
+        F.when(F.col("side") == "buy", F.col("qty_deci"))
+        .otherwise(0)
+        .alias("buy_deci"),
+        F.when(F.col("side") == "sell", F.col("qty_deci"))
+        .otherwise(0)
+        .alias("sell_deci"),
+        "qty_deci",
+    )
+    agg = b.groupBy("symbol", "bucket_id").agg(
+        F.sum("buy_deci").alias("buy_deci"),
+        F.sum("sell_deci").alias("sell_deci"),
+        F.sum("qty_deci").alias("tot_deci"),
+    )
+    mx = agg.groupBy("symbol").agg(F.max("bucket_id").alias("last_bucket"))
+    abs_imb = F.sum(F.abs(F.col("buy_deci") - F.col("sell_deci")))
+    return (
+        agg.join(F.broadcast(mx), "symbol")
+        .filter(F.col("bucket_id") < F.col("last_bucket"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            abs_imb.cast("long").alias("abs_imb_deci"),
+            F.sum("tot_deci").cast("long").alias("vol_deci"),
+            (abs_imb.cast("double") / F.sum("tot_deci")).alias("vpin"),
+        )
+    )

@@ -186,6 +186,16 @@ _PRIORITY = [
     #      multiply/round/divide quantity math).
     "events_funnel_conversion",
     "events_retention_cohorts",
+    # ---- (a8) microstructure fair-value + flow-toxicity staples over
+    #      the real binance parse arms: Stoikov microprice / depth
+    #      imbalance (bookTicker arm) and VPIN on the volume clock
+    #      (aggTrade arm) — zero driver history by construction. Two
+    #      more (d)-tail r02-green rows fall out of the 50-slot window
+    #      (window_running_sum and sort_limit — window/sort machinery
+    #      stays driver-exercised through every ranked wire and top-k
+    #      row still in the sample).
+    "microprice_imbalance_1m",
+    "vpin_toxicity",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
