@@ -205,6 +205,10 @@ HEADLINE = [
     # r05 microstructure staples: microprice/depth imbalance + VPIN
     "microprice_imbalance_1m",
     "vpin_toxicity",
+    # r05 continuation: attribution, collocation lift, re-crawl span diff
+    "events_attribution_last_touch",
+    "collocation_lift_topk",
+    "spans_epoch_diff",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

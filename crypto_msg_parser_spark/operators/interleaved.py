@@ -1054,3 +1054,211 @@ def interleaved_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_offset").cast("long").alias("start_offset"),
         F.col("pack_id").cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "spans_epoch_diff",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS did, doc_id::VARCHAR AS doc_id, text,
+             length(text) AS L, CAST(length(text) // 2 AS INT) AS h
+      FROM documents),
+    e1 AS (
+      SELECT doc_id, 'text' AS kind, substr(text, 1, h) AS stext,
+             '' AS media_ref, 0 AS soff FROM base WHERE did % 19 <> 0
+      UNION ALL
+      SELECT doc_id, 'text', substr(text, h + 1, L), '', h
+      FROM base WHERE did % 19 <> 0
+      UNION ALL
+      SELECT doc_id, 'media', '',
+             'media/' || doc_id
+               || CASE WHEN did % 14 = 0 THEN '.svg' ELSE '.bin' END,
+             L
+      FROM base WHERE did % 19 <> 0 AND did % 7 = 0),
+    e2 AS (
+      SELECT doc_id, 'text' AS kind, substr(text, 1, h) AS stext,
+             '' AS media_ref, 0 AS soff FROM base WHERE did % 17 <> 0
+      UNION ALL
+      SELECT doc_id, 'text',
+             substr(text, h + 1, L)
+               || CASE WHEN did % 5 = 0 THEN '~' ELSE '' END,
+             '', h
+      FROM base WHERE did % 17 <> 0
+      UNION ALL
+      SELECT doc_id, 'media', '',
+             'media/' || doc_id
+               || CASE WHEN did % 14 = 0 THEN '.svg' ELSE '.bin' END
+               || CASE WHEN did % 13 = 0 THEN '.v2' ELSE '' END,
+             L
+      FROM base
+      WHERE did % 17 <> 0 AND did % 7 = 0 AND did % 11 <> 0),
+    d AS (
+      SELECT coalesce(e1.doc_id, e2.doc_id) AS doc_id,
+             (e1.doc_id IS NOT NULL) AS in1,
+             (e2.doc_id IS NOT NULL) AS in2,
+             CASE WHEN e1.doc_id IS NOT NULL AND e2.doc_id IS NOT NULL
+                   AND (e1.stext <> e2.stext
+                        OR e1.media_ref <> e2.media_ref)
+                  THEN 1 ELSE 0 END AS modified
+      FROM e1 FULL OUTER JOIN e2
+        ON e1.doc_id = e2.doc_id AND e1.soff = e2.soff
+           AND e1.kind = e2.kind),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans_e1,
+             CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans_e2,
+             CAST(sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+             CAST(sum(modified) AS BIGINT) AS n_modified,
+             CAST(sum(CASE WHEN in1 AND in2 AND modified = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      FROM d GROUP BY doc_id)
+    SELECT doc_id, n_spans_e1, n_spans_e2, n_added, n_removed,
+           n_modified, n_unchanged,
+           CASE WHEN n_spans_e1 = 0 THEN 'new'
+                WHEN n_spans_e2 = 0 THEN 'gone'
+                WHEN n_added + n_removed + n_modified > 0 THEN 'changed'
+                ELSE 'same' END AS status
+    FROM agg
+    """,
+    doc="re-crawl span diff between two crawl epochs of the interleaved "
+    "corpus — the change-detection report a recrawl scheduler consumes "
+    "(recrawl_backoff prices WHEN to refetch; this row computes WHAT "
+    "changed once the refetch lands). Epoch 1 excludes every 19th doc "
+    "(pages that appeared later = 'new'), epoch 2 excludes every 17th "
+    "(404s = 'gone') and deterministically mutates surviving spans: "
+    "every 5th doc's second text span drifts (content update), every "
+    "13th doc's media_ref gains a '.v2' suffix (asset re-encode = "
+    "modified), every 11th doc's media span disappears (removed). "
+    "Spans align across epochs on the STABLE identity key (doc_id, "
+    "offset, kind) via one FULL OUTER equi-join — the null sides ARE "
+    "the added/removed signal, exactly the sitemap_coverage_audit "
+    "join discipline — and payload drift (text OR media_ref) on "
+    "aligned spans marks 'modified', i.e. the span-sequence-equality "
+    "invariant (kind, text, media_ref, order) evaluated per span "
+    "with the violation localized instead of just flagged. The text "
+    "mutation is a concat ('~' suffix), not a case map, so both "
+    "engines produce byte-identical strings with no locale surface. "
+    "Offsets are collision-free because the corpus min doc length "
+    "(44 chars) keeps 0 < h < L. Scale: the two epoch frames "
+    "explode to ~3 rows/doc, the join shuffles on doc_id (the "
+    "natural lake partition key), and the per-doc rollup is one "
+    "partial-agg groupBy riding the same key — no window, no "
+    "broadcast of anything unbounded.",
+)
+def spans_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("did")
+
+    def epoch_spans(excl_mod: int, mutate: bool) -> DataFrame:
+        ex = (
+            synth_interleaved(
+                docs.filter(F.col("doc_id") % excl_mod != 0)
+            )
+            .join(
+                docs.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    F.col("doc_id").alias("did"),
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "did", F.explode("spans").alias("s"))
+            .select(
+                "doc_id",
+                "did",
+                F.col("s.kind").alias("kind"),
+                F.coalesce(F.col("s.text"), F.lit("")).alias("stext"),
+                F.coalesce(F.col("s.media_ref"), F.lit("")).alias(
+                    "media_ref"
+                ),
+                F.col("s.offset").alias("soff"),
+            )
+        )
+        if not mutate:
+            return ex
+        is_text2 = (F.col("kind") == "text") & (F.col("soff") > 0)
+        is_media = F.col("kind") == "media"
+        return (
+            ex.filter(~(is_media & (did % 11 == 0)))
+            .withColumn(
+                "stext",
+                F.when(
+                    is_text2 & (did % 5 == 0),
+                    F.concat(F.col("stext"), F.lit("~")),
+                ).otherwise(F.col("stext")),
+            )
+            .withColumn(
+                "media_ref",
+                F.when(
+                    is_media & (did % 13 == 0),
+                    F.concat(F.col("media_ref"), F.lit(".v2")),
+                ).otherwise(F.col("media_ref")),
+            )
+        )
+
+    e1 = epoch_spans(19, mutate=False).alias("e1")
+    e2 = epoch_spans(17, mutate=True).alias("e2")
+    j = e1.join(
+        e2,
+        (F.col("e1.doc_id") == F.col("e2.doc_id"))
+        & (F.col("e1.soff") == F.col("e2.soff"))
+        & (F.col("e1.kind") == F.col("e2.kind")),
+        "full_outer",
+    )
+    in1 = F.col("e1.doc_id").isNotNull()
+    in2 = F.col("e2.doc_id").isNotNull()
+    modified = (
+        in1
+        & in2
+        & (
+            (F.col("e1.stext") != F.col("e2.stext"))
+            | (F.col("e1.media_ref") != F.col("e2.media_ref"))
+        )
+    ).cast("int")
+    d = j.select(
+        F.coalesce(F.col("e1.doc_id"), F.col("e2.doc_id")).alias("doc_id"),
+        in1.alias("in1"),
+        in2.alias("in2"),
+        modified.alias("modified"),
+    )
+    agg = d.groupBy("doc_id").agg(
+        F.sum(F.col("in1").cast("int")).cast("long").alias("n_spans_e1"),
+        F.sum(F.col("in2").cast("int")).cast("long").alias("n_spans_e2"),
+        F.sum((F.col("in2") & ~F.col("in1")).cast("int"))
+        .cast("long")
+        .alias("n_added"),
+        F.sum((F.col("in1") & ~F.col("in2")).cast("int"))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum("modified").cast("long").alias("n_modified"),
+        F.sum(
+            (F.col("in1") & F.col("in2") & (F.col("modified") == 0)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_unchanged"),
+    )
+    status = (
+        F.when(F.col("n_spans_e1") == 0, "new")
+        .when(F.col("n_spans_e2") == 0, "gone")
+        .when(
+            F.col("n_added") + F.col("n_removed") + F.col("n_modified") > 0,
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans_e1",
+        "n_spans_e2",
+        "n_added",
+        "n_removed",
+        "n_modified",
+        "n_unchanged",
+        status.alias("status"),
+    )

@@ -574,3 +574,101 @@ def corpus_drift_topk(spark, sf_dir):
         .orderBy(F.desc("drift_micro"), F.asc("word"))
         .limit(TOPK_DRIFT)
     )
+
+
+COLLOC_MIN_COUNT = 2
+COLLOC_TOPK = 20
+
+
+@query(
+    "collocation_lift_topk",
+    oracle=f"""
+    WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT t.t AS w FROM ws, UNNEST(ws) AS t(t)),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT count(*) AS n_tokens FROM tok),
+    bi AS (
+      SELECT g.g FROM (
+        SELECT list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1]) AS gs
+        FROM ws), UNNEST(gs) AS g(g)),
+    bc AS (SELECT g, count(*) AS c_xy FROM bi GROUP BY g
+           HAVING count(*) >= {COLLOC_MIN_COUNT}),
+    parts AS (
+      SELECT g, c_xy,
+             string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2
+      FROM bc),
+    j AS (
+      SELECT p.g AS ngram, p.c_xy, u1.c AS c_x, u2.c AS c_y, n.n_tokens
+      FROM parts p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN n)
+    SELECT ngram,
+           CAST(c_xy AS BIGINT) AS n_xy,
+           CAST(c_x AS BIGINT) AS n_x,
+           CAST(c_y AS BIGINT) AS n_y,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(c_xy * n_tokens AS DOUBLE) / (c_x * c_y) AS lift
+    FROM j ORDER BY lift DESC, ngram LIMIT {COLLOC_TOPK}
+    """,
+    doc="bigram collocation mining by LIFT — the log-free core of PMI "
+    "(PMI = log2(lift)), ranking word pairs that co-occur far above "
+    "the independence expectation: lift = P(xy)/(P(x)P(y)) = "
+    "n_xy*N / (n_x*n_y). Logs are deliberately avoided: libm log() is "
+    "not bit-portable across engines, but the lift RATIO carries the "
+    "identical ordering and is one IEEE division on exact integers "
+    "(numerator n_xy*N <= ~2^40 at petabyte scale, denominator "
+    "n_x*n_y < 2^53 while both factors stay under ~10^8 distinct "
+    "token occurrences per word — bounds documented, far from either "
+    "engine's exact range). The four counts publish alongside so the "
+    "gate is anchored on integers. Shape: one explode+groupBy each "
+    "for unigrams and bigrams, the vocabulary-sized unigram table "
+    "broadcast-joined TWICE onto the bigram counts (left word, right "
+    "word), the 1-row corpus total cross-joined (documented grand-"
+    "total crossJoin, same as corpus_pack_sequences), min-count "
+    "pre-filter BEFORE the joins so the joined frame is heavy-hitters "
+    "only, and ORDER BY LIMIT compiling to TakeOrderedAndProject — "
+    "no full sort at any corpus size.",
+)
+def collocation_lift_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    tok = docs.select(F.explode(words).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    bc = (
+        docs.select(F.explode(_bigrams_all(words)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    )
+    parts = bc.select(
+        "ngram",
+        "c_xy",
+        F.split("ngram", " ").getItem(0).alias("w1"),
+        F.split("ngram", " ").getItem(1).alias("w2"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    j = (
+        parts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        j.select(
+            "ngram",
+            F.col("c_xy").cast("long").alias("n_xy"),
+            F.col("c_x").cast("long").alias("n_x"),
+            F.col("c_y").cast("long").alias("n_y"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                (F.col("c_xy") * F.col("n_tokens")).cast("double")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ngram")
+        .limit(COLLOC_TOPK)
+    )

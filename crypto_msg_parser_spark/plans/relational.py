@@ -820,3 +820,85 @@ def events_retention_cohorts(spark, sf_dir):
         .cast("long")
         .alias("retention_pct"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS t_conv FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    tch AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.event_type IN ('view', 'click') AND e.ts < c.t_conv),
+    lt AS (
+      SELECT user_id, max(ts) AS t_touch,
+             CAST(count(*) AS BIGINT) AS n_touches
+      FROM tch GROUP BY user_id),
+    win AS (
+      SELECT t.user_id, l.t_touch, l.n_touches,
+             max(t.event_id) AS touch_event_id
+      FROM tch t JOIN lt l
+        ON l.user_id = t.user_id AND t.ts = l.t_touch
+      GROUP BY t.user_id, l.t_touch, l.n_touches)
+    SELECT w.user_id, c.t_conv, w.t_touch, w.n_touches,
+           w.touch_event_id, e.event_type AS channel
+    FROM win w
+    JOIN conv c ON c.user_id = w.user_id
+    JOIN events e ON e.event_id = w.touch_event_id
+    """,
+    doc="last-touch marketing attribution: for each converting user "
+    "(first purchase = conversion), credit the latest view/click "
+    "STRICTLY before the conversion. The winning touch is resolved in "
+    "two exact steps — max(ts) over prior touches, then max(event_id) "
+    "among touches AT that ts — so simultaneous touches cannot make "
+    "the credited channel engine-dependent (an arg_max on ts alone "
+    "would be tie-ambiguous the moment two touches share a timestamp; "
+    "event_id is unique by construction, making the key total). "
+    "Composition mirror of events_funnel_conversion: every stage is a "
+    "groupBy(user_id) or a user-keyed equi-join — co-partitioned end "
+    "to end — and the final channel lookup joins back on event_id, a "
+    "shrunken one-row-per-converting-user frame. Users whose only "
+    "touches follow the purchase (or who never converted) drop out by "
+    "the strict inequality, exercised by the synthetic events.",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    tch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("t_conv"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    lt = tch.groupBy("user_id").agg(
+        F.max("ts").alias("t_touch"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+    win = (
+        tch.join(lt, "user_id")
+        .filter(F.col("ts") == F.col("t_touch"))
+        .groupBy("user_id", "t_touch", "n_touches")
+        .agg(F.max("event_id").alias("touch_event_id"))
+    )
+    channel = ev.select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("channel"),
+    )
+    return (
+        win.join(conv, "user_id")
+        .join(channel, "touch_event_id")
+        .select(
+            "user_id",
+            "t_conv",
+            "t_touch",
+            "n_touches",
+            "touch_event_id",
+            "channel",
+        )
+    )

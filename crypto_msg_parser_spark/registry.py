@@ -191,11 +191,22 @@ _PRIORITY = [
     #      imbalance (bookTicker arm) and VPIN on the volume clock
     #      (aggTrade arm) — zero driver history by construction. Two
     #      more (d)-tail r02-green rows fall out of the 50-slot window
-    #      (window_running_sum and sort_limit — window/sort machinery
-    #      stays driver-exercised through every ranked wire and top-k
-    #      row still in the sample).
+    #      (set_ops and window_running_sum — window machinery stays
+    #      driver-exercised through every ranked wire and rolling row
+    #      still in the sample).
     "microprice_imbalance_1m",
     "vpin_toxicity",
+    # ---- (a9) continuation additions: last-touch attribution (events),
+    #      bigram collocation lift (corpus), re-crawl span diff
+    #      (interleaved epochs) — zero driver history by construction.
+    #      Three more (d)-tail r02-green rows fall out of the 50-slot
+    #      window (cube_agg, distinct_count, sort_limit — grouping-set
+    #      machinery keeps pytest+oracle(local) evidence, and
+    #      q1_pricing_summary stays fresh as the every-round entry()
+    #      smoke).
+    "events_attribution_last_touch",
+    "collocation_lift_topk",
+    "spans_epoch_diff",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
