@@ -209,6 +209,9 @@ HEADLINE = [
     "events_attribution_last_touch",
     "collocation_lift_topk",
     "spans_epoch_diff",
+    # r05 retrieval prep: overlap chunking + inverted-index dictionary
+    "corpus_chunk_overlap",
+    "inverted_index_postings",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

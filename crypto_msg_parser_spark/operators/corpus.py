@@ -668,3 +668,84 @@ def lake_compaction_plan(spark, sf_dir):
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    g AS (
+      SELECT doc_id, ws, n,
+             CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                  ELSE CAST(ceil(CAST(n - {CHUNK_TOKENS} AS DOUBLE)
+                                 / {CHUNK_STRIDE}) AS BIGINT) + 1
+             END AS n_chunks
+      FROM t),
+    c AS (
+      SELECT doc_id, ws, n, i.i AS chunk_idx
+      FROM g, UNNEST(generate_series(0, n_chunks - 1)) AS i(i))
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS token_start,
+           CAST(least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)
+                - chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS n_tokens_chunk,
+           array_to_string(
+             list_slice(ws, chunk_idx * {CHUNK_STRIDE} + 1,
+                        least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS},
+                              n)),
+             ' ') AS chunk_text
+    FROM c
+    """,
+    doc="fixed-size token chunking with overlap (RAG / context-window "
+    "prep): each document becomes ceil((n-W)/S)+1 chunks of W=64 "
+    "whitespace tokens at stride S=48 (16-token overlap so no "
+    "retrieval-relevant phrase is severed at a boundary), the final "
+    "chunk truncated at the document end, single-chunk docs emitted "
+    "whole. The chunk grid is per-row array metadata — "
+    "sequence(0, n_chunks-1) exploded, then slice + array_join on the "
+    "already-split token array — so chunking is embarrassingly "
+    "parallel: zero shuffles, zero joins, the scan partitioning IS "
+    "the output partitioning (the lake-compaction row downstream "
+    "handles chunk-count skew). Token arithmetic is integer end to "
+    "end; the one double (ceil of the chunk count) divides two exact "
+    "small ints identically in both engines.",
+)
+def corpus_chunk_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    n_chunks = F.when(n <= W, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - W).cast("double") / S).cast("long") + 1
+    )
+    t = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        n.cast("long").alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * S
+    end = F.least(start + W, F.col("n"))
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("token_start"),
+        (end - start).alias("n_tokens_chunk"),
+        F.array_join(
+            F.slice(
+                F.col("ws"),
+                (start + 1).cast("int"),
+                (end - start).cast("int"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

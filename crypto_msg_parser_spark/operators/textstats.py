@@ -672,3 +672,73 @@ def collocation_lift_topk(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "ngram")
         .limit(COLLOC_TOPK)
     )
+
+
+POSTINGS_HEAD = 10
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.t AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(ws) AS t(t)),
+    tf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY term, doc_id)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(max(tf) AS BIGINT) AS max_tf,
+           array_to_string(
+             list_slice(
+               list_sort(list(doc_id || ':' || tf)),
+               1, {POSTINGS_HEAD}),
+             ',') AS postings_head
+    FROM tf GROUP BY term
+    """,
+    doc="inverted-index build (the retrieval-side twin of "
+    "tfidf_top_terms): one explode to (term, doc) pairs, one "
+    "partial-agg groupBy for per-doc term frequency, one groupBy(term) "
+    "folding the dictionary row — document frequency, corpus tf, max "
+    "tf (the BM25 saturation anchor) and the head of the posting list. "
+    "Postings are materialized as the FIRST 10 entries of "
+    "the 'doc:tf'-lexicographic sort, not the full list: a stopword's "
+    "postings at web scale is the corpus itself, so the full list "
+    "never transits as one value — a real deployment range-partitions "
+    "postings by (term, doc_id) and this row carries the dictionary "
+    "plus a bounded sample (cap documented, exact integer stats are "
+    "complete either way). Lexicographic doc:tf strings make the "
+    "sample engine-identical without numeric-sort/NULLS quibbles; "
+    "both groupBys ride one shuffle each on keys Catalyst "
+    "partial-aggregates map-side.",
+)
+def inverted_index_postings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    posting = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("tf").cast("string")
+    )
+    return (
+        tf.select("term", "tf", posting.alias("posting"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.max("tf").cast("long").alias("max_tf"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list("posting")),
+                    1,
+                    POSTINGS_HEAD,
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+    )

@@ -207,6 +207,16 @@ _PRIORITY = [
     "events_attribution_last_touch",
     "collocation_lift_topk",
     "spans_epoch_diff",
+    # ---- (a10) retrieval-prep additions: overlapping token chunking
+    #      (RAG context-window prep, shuffle-free) and the inverted-
+    #      index dictionary build — zero driver history by
+    #      construction. Two more (d)-tail r02-green rows fall out of
+    #      the 50-slot window (window_topk_per_group, round9_convention
+    #      — top-k-per-group machinery stays exercised by every
+    #      TakeOrderedAndProject row in the window, and round9
+    #      semantics by every parse ladder row's quantity math).
+    "corpus_chunk_overlap",
+    "inverted_index_postings",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
