@@ -212,6 +212,10 @@ HEADLINE = [
     # r05 retrieval prep: overlap chunking + inverted-index dictionary
     "corpus_chunk_overlap",
     "inverted_index_postings",
+    # r05 wave 3: slippage curve, embedding norm audit, HITS
+    "book_slippage_curve",
+    "embedding_norm_audit",
+    "hits_hub_authority",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

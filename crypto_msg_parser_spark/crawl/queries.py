@@ -2187,3 +2187,99 @@ def sitemap_coverage_audit(spark, sf_dir):
             "ELSE 0 END), 1) AS BIGINT)"
         ).alias("coverage_pct"),
     )
+
+
+_HITS_H0 = 100  # integer seed hub mass per node
+
+
+def _sql_hits_oracle() -> str:
+    n = "(SELECT count(*) FROM part)"
+    edges = (
+        f"SELECT p_partkey AS src, (p_partkey + 1) % {n} AS dst FROM part "
+        f"UNION ALL "
+        f"SELECT p_partkey, (p_partkey * 7 + 3) % {n} FROM part "
+        f"UNION ALL "
+        f"SELECT p_partkey, (p_partkey * 5 + 1) % {n} FROM part "
+        f"WHERE p_partkey % 3 = 0"
+    )
+    return f"""
+    WITH e AS ({edges}),
+    h0 AS (SELECT p_partkey AS node, {_HITS_H0} AS h FROM part),
+    a1 AS (SELECT e.dst AS node, sum(h0.h) AS a
+           FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    h1 AS (SELECT e.src AS node, sum(a1.a) AS h
+           FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst AS node, sum(h1.h) AS a
+           FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    h2 AS (SELECT e.src AS node, sum(a2.a) AS h
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src)
+    SELECT p.p_partkey AS node,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS authority,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+    FROM part p
+    LEFT JOIN a2 ON a2.node = p.p_partkey
+    LEFT JOIN h2 ON h2.node = p.p_partkey
+    """
+
+
+@query(
+    "hits_hub_authority",
+    oracle=_sql_hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg 1999) over the frontier's "
+    "link graph — the companion signal to pagerank_priority for seed-"
+    "list curation: a good SEED page is a strong HUB (links out to "
+    "many strong authorities — exchange index/sitemap pages), while "
+    "fetch priority follows AUTHORITY; crawling literature uses the "
+    "pair to bootstrap new verticals. Two full mutual-reinforcement "
+    "sweeps (a <- sum of in-neighbour hubs, h <- sum of out-neighbour "
+    "authorities), UNNORMALIZED: per-iteration L2 normalization is a "
+    "positive per-side scalar, so the RANKING the scheduler consumes "
+    "is identical, and dropping it keeps every score an exact "
+    "associative integer sum (max ~in-deg^2*out-deg^2*100 << int64) — "
+    "bit-identical under any partial-agg order, where the normalized "
+    "float version drifts in the last ulp. The synthetic graph adds a "
+    "third out-edge on every 3rd node so in-degrees vary and the "
+    "fixpoint is NON-uniform (the regular 2-edge pagerank graph would "
+    "make HITS constant — pinned the other way by that row). Each "
+    "half-sweep is one equi-join + partial-agg groupBy on a node key; "
+    "the score table is (node, long) and is never collected.",
+)
+def hits_hub_authority(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    n = p.count()  # plan literal, same convention as pagerank_priority
+    k = F.col("p_partkey")
+    edges = (
+        p.select(k.alias("src"), ((k + 1) % n).alias("dst"))
+        .unionAll(p.select(k.alias("src"), ((k * 7 + 3) % n).alias("dst")))
+        .unionAll(
+            p.filter(k % 3 == 0).select(
+                k.alias("src"), ((k * 5 + 1) % n).alias("dst")
+            )
+        )
+    )
+    h = p.select(k.alias("node"), F.lit(_HITS_H0).cast("long").alias("h"))
+    for _ in range(2):
+        a = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+        )
+        h = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+        )
+    a_f = a.select(F.col("node"), F.col("a").alias("authority"))
+    h_f = h.select(F.col("node"), F.col("h").alias("hub"))
+    return (
+        p.select(k.alias("node"))
+        .join(a_f, "node", "left")
+        .join(h_f, "node", "left")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )

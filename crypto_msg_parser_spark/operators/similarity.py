@@ -646,3 +646,52 @@ def semantic_dedup_drop(spark, sf_dir):
         F.sum(dropped.cast("long")).cast("long").alias("n_dropped"),
         F.sum((~dropped).cast("long")).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(floor(norm * 20) AS BIGINT) AS norm_bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           min(norm) AS norm_min,
+           max(norm) AS norm_max
+    FROM e GROUP BY label, floor(norm * 20)
+    """,
+    doc="embedding L2-norm audit per (cell, 0.05-wide norm bucket) — "
+    "the pre-ANN sanity gate: cosine-vs-dot shortcuts, int8 "
+    "quantization ranges and IVF cell residuals all silently assume a "
+    "known norm distribution, so the audit runs BEFORE ann/semantic "
+    "rows trust theirs (the same deploy-gate discipline as "
+    "ann_recall_report). Per-vector norm = sqrt of the sequential "
+    "double self-dot (the module's established bit-portable fold — "
+    "DuckDB's list_inner_product walks the same left-to-right loop as "
+    "list_cosine_similarity); bucketing floors identical doubles, so "
+    "the histogram is engine-exact, zero-vectors (which would NaN any "
+    "cosine) are counted per bucket, and min/max are order-independent "
+    "order statistics — no float SUM over rows anywhere. Shape: one "
+    "narrow per-row map + one partial-agg groupBy; the histogram is "
+    "cells x 20ish buckets, metadata-sized at any corpus scale.",
+)
+def embedding_norm_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _dvec(F.col("embedding"))
+    norm = F.sqrt(_dot(v, v))
+    e = emb.select(
+        F.col("label").cast("long").alias("label"), norm.alias("norm")
+    )
+    return e.groupBy(
+        "label", F.floor(F.col("norm") * 20).cast("long").alias("norm_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum((F.col("norm") == 0).cast("int")).cast("long").alias("n_zero"),
+        F.min("norm").alias("norm_min"),
+        F.max("norm").alias("norm_max"),
+    )

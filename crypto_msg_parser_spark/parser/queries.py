@@ -5137,3 +5137,115 @@ def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (abs_imb.cast("double") / F.sum("tot_deci")).alias("vpin"),
         )
     )
+
+
+@query(
+    "book_slippage_curve",
+    oracle=f"""
+    {_SQL_BOOK_CTES},
+    lvl AS (
+      SELECT symbol,
+             CAST(round(price * 100) AS BIGINT) AS px,
+             CAST(round(qty * 10) AS BIGINT) AS deci
+      FROM book WHERE side = 'ask'),
+    t AS (SELECT * FROM (VALUES (1000), (5000), (20000)) AS t(target)),
+    wk AS (
+      SELECT symbol, t.target, px, deci,
+             coalesce(sum(deci) OVER (PARTITION BY symbol, t.target
+               ORDER BY px ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cum_before
+      FROM lvl CROSS JOIN t),
+    f AS (
+      SELECT symbol, target, px,
+             least(deci, target - cum_before) AS filled
+      FROM wk WHERE cum_before < target)
+    SELECT symbol,
+           CAST(target AS BIGINT) AS target_deci,
+           CAST(sum(filled) AS BIGINT) AS filled_deci,
+           CAST(sum(px * filled) AS BIGINT) AS notional_cents_deci,
+           CAST(count(*) AS BIGINT) AS n_levels_touched,
+           CAST(min(px) AS BIGINT) AS best_ask_cents,
+           (sum(filled) = target) AS fully_filled,
+           CAST((1000 * sum(px * filled)) // sum(filled) AS BIGINT)
+             AS avg_px_millicents,
+           CAST((1000 * sum(px * filled)) // sum(filled)
+                - 1000 * min(px) AS BIGINT) AS slippage_millicents
+    FROM f GROUP BY symbol, target
+    """,
+    doc="execution slippage curve over the RECONSTRUCTED ask book "
+    "(composition on l2_book_reconstruct, the same book l2_spread_stats "
+    "reads): for standard order sizes (100/500/2000 units in deci), "
+    "walk price levels best-first, fill greedily, and report the "
+    "volume-weighted average execution price and its slippage vs the "
+    "touch — the pre-trade TCA estimate an execution desk derives from "
+    "every normalized L2 snapshot. The walk is one cumulative-depth "
+    "window per (symbol, target) ordered by price — a TOTAL order, "
+    "since the book frame is already grouped per (symbol, side, price) "
+    "so px is unique within the partition — and fills are exact "
+    "integers: filled = least(deci, target - cum_before), notional in "
+    "cents x deci-units, average price one integer millicent division, "
+    "partial fills reported with fully_filled = false (thin books are "
+    "the signal, never an error). The 3-row size ladder CROSS JOINs "
+    "broadcast-style (documented bounded crossJoin, same convention as "
+    "the grand-total rows). Scale: the book is bounded by live price "
+    "levels per symbol, the window partitions on (symbol, target) — "
+    "no global sort, no driver state.",
+)
+def book_slippage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from crypto_msg_parser_spark.plans.money import cents
+
+    book = l2_book_reconstruct(spark, sf_dir)
+    lvl = book.filter(F.col("side") == "ask").select(
+        "symbol",
+        cents(F.col("price")).alias("px"),
+        F.round(F.col("qty") * 10).cast("long").alias("deci"),
+    )
+    targets = (
+        F.broadcast(
+            lvl.sparkSession.createDataFrame(
+                [(1000,), (5000,), (20000,)], "target long"
+            )
+        )
+    )
+    w = (
+        W.partitionBy("symbol", "target")
+        .orderBy("px")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wk = lvl.crossJoin(targets).withColumn(
+        "cum_before", F.coalesce(F.sum("deci").over(w), F.lit(0))
+    )
+    f = wk.filter(F.col("cum_before") < F.col("target")).select(
+        "symbol",
+        "target",
+        "px",
+        F.least(
+            F.col("deci"), F.col("target") - F.col("cum_before")
+        ).alias("filled"),
+    )
+    agg = f.groupBy("symbol", "target").agg(
+        F.sum("filled").cast("long").alias("filled_deci"),
+        F.sum(F.col("px") * F.col("filled"))
+        .cast("long")
+        .alias("notional_cents_deci"),
+        F.count(F.lit(1)).cast("long").alias("n_levels_touched"),
+        F.min("px").cast("long").alias("best_ask_cents"),
+        F.expr("(1000 * sum(px * filled)) DIV sum(filled)")
+        .cast("long")
+        .alias("avg_px_millicents"),
+    )
+    return agg.select(
+        "symbol",
+        F.col("target").cast("long").alias("target_deci"),
+        "filled_deci",
+        "notional_cents_deci",
+        "n_levels_touched",
+        "best_ask_cents",
+        (F.col("filled_deci") == F.col("target")).alias("fully_filled"),
+        "avg_px_millicents",
+        (F.col("avg_px_millicents") - 1000 * F.col("best_ask_cents"))
+        .cast("long")
+        .alias("slippage_millicents"),
+    )

@@ -217,6 +217,17 @@ _PRIORITY = [
     #      semantics by every parse ladder row's quantity math).
     "corpus_chunk_overlap",
     "inverted_index_postings",
+    # ---- (a11) wave-3 additions: pre-trade TCA slippage curve over the
+    #      reconstructed book, embedding L2-norm audit (the pre-ANN
+    #      deploy gate), HITS hubs/authorities for seed-list curation —
+    #      zero driver history by construction. Three more (d)-tail
+    #      rows with r01/r02 evidence fall out of the 50-slot window
+    #      (array_ops_levels, q3_shipping_priority, q5_region_revenue —
+    #      TPC-H joins stay driver-exercised by q1_pricing_summary, the
+    #      every-round entry() smoke, and the asof/range join rows).
+    "book_slippage_curve",
+    "embedding_norm_audit",
+    "hits_hub_authority",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
