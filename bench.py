@@ -216,6 +216,9 @@ HEADLINE = [
     "book_slippage_curve",
     "embedding_norm_audit",
     "hits_hub_authority",
+    # r05 wave 4: HLL gate + media-store integrity audit
+    "distinct_sketch_gate",
+    "media_ref_integrity",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

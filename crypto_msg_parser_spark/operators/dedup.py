@@ -1005,3 +1005,45 @@ def neardup_best_rep(spark, sf_dir):
             (F.col("doc_id") != F.col("component_id")).alias("policy_changed"),
         )
     )
+
+
+@query(
+    "distinct_sketch_gate",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_exact,
+           (abs(approx_count_distinct(text) - count(DISTINCT text))
+            * 100 <= 15 * count(DISTINCT text)) AS sketch_within_15pct
+    FROM documents GROUP BY source
+    """,
+    doc="HLL distinct-count sketch with an in-plan error gate: per "
+    "source, the EXACT distinct-text count (the small-SF ground truth) "
+    "next to a boolean asserting the engine's own HyperLogLog estimate "
+    "landed within 15%. The approx VALUE is deliberately NOT a result "
+    "column — Spark's HLL++ and DuckDB's HLL are different sketches "
+    "with different biases, so publishing it would hash-mismatch by "
+    "construction; publishing the GATE makes each engine audit its own "
+    "sketch against the same exact reference, the ann_recall_report "
+    "pattern (the deployment check is engine-portable even when the "
+    "estimator isn't). The gate margin is 3x the requested 5% rsd, so "
+    "it is a correctness tripwire, not a coin flip, and both sketches "
+    "are seed-deterministic. Why it matters at 100 TB: COUNT(DISTINCT) "
+    "is an Expand + full shuffle of every distinct value — at frontier "
+    "scale the sketch (fixed 2^p registers per group, map-side "
+    "mergeable, one narrow shuffle) is the only affordable form, and "
+    "this row is the audit that licenses the swap. The exact arm "
+    "exists at any SF the driver grades; a production deployment runs "
+    "the gate on a sampled stratum and ships the sketch corpus-wide.",
+)
+def distinct_sketch_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = F.countDistinct("text").cast("long")
+    approx = F.approx_count_distinct("text", 0.05)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        exact.alias("n_distinct_exact"),
+        (F.abs(approx - exact) * 100 <= 15 * exact).alias(
+            "sketch_within_15pct"
+        ),
+    )

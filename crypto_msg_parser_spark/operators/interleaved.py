@@ -1262,3 +1262,81 @@ def spans_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unchanged",
         status.alias("status"),
     )
+
+
+@query(
+    "media_ref_integrity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS did, doc_id::VARCHAR AS doc_id,
+             length(text) AS L FROM documents),
+    refs AS (
+      SELECT doc_id,
+             'media/' || doc_id
+               || CASE WHEN did % 14 = 0 THEN '.svg' ELSE '.bin' END
+               AS ref
+      FROM base WHERE did % 7 = 0),
+    store AS (
+      SELECT 'media/' || doc_id
+               || CASE WHEN did % 14 = 0 THEN '.svg' ELSE '.bin' END
+               AS obj,
+             CAST(1 + did % 97 AS BIGINT) AS size_kb
+      FROM base WHERE (did % 7 = 0 AND did % 35 <> 0) OR did % 9 = 0),
+    j AS (
+      SELECT refs.ref, store.obj, store.size_kb
+      FROM refs FULL OUTER JOIN store ON refs.ref = store.obj)
+    SELECT CASE WHEN ref IS NULL THEN 'orphan_object'
+                WHEN obj IS NULL THEN 'dangling_ref'
+                ELSE 'ok' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(size_kb), 0) AS BIGINT) AS bytes_kb,
+           min(coalesce(ref, obj)) AS sample_path
+    FROM j GROUP BY 1
+    """,
+    doc="media-store referential-integrity audit for the interleaved "
+    "corpus: every media_ref the span table carries is reconciled "
+    "against the object-store listing via one FULL OUTER equi-join on "
+    "the storage path — dangling refs (span points at a deleted/"
+    "never-fetched object: the doc renders broken and must be "
+    "re-fetched or the span dropped) and orphan objects (stored bytes "
+    "no span references: reclaimable space, priced in kb) both come "
+    "from the join's null sides, the established audit-join "
+    "discipline (sitemap_coverage_audit, spans_epoch_diff). The "
+    "synthetic store drops every 35th doc's object and adds unref'd "
+    "objects for every 9th doc so all three statuses are non-empty; "
+    "sample_path is min() per status — an order-independent exact "
+    "order statistic, giving operators one concrete path per failure "
+    "class without collecting lists. Scale: refs explode from the "
+    "span table (bounded per doc), the store listing is a metadata "
+    "scan, the join shuffles once on the path key both sides are "
+    "naturally bucketed by, and the report is 3 rows.",
+)
+def media_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = synth_interleaved(docs)
+    refs = (
+        spans.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("ref"))
+    )
+    did = F.col("doc_id")
+    ext = F.when(did % 14 == 0, F.lit(".svg")).otherwise(F.lit(".bin"))
+    store = docs.filter(
+        ((did % 7 == 0) & (did % 35 != 0)) | (did % 9 == 0)
+    ).select(
+        F.concat(F.lit("media/"), did.cast("string"), ext).alias("obj"),
+        (1 + did % 97).cast("long").alias("size_kb"),
+    )
+    j = refs.join(store, refs["ref"] == store["obj"], "full_outer")
+    status = (
+        F.when(F.col("ref").isNull(), "orphan_object")
+        .when(F.col("obj").isNull(), "dangling_ref")
+        .otherwise("ok")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("size_kb"), F.lit(0))
+        .cast("long")
+        .alias("bytes_kb"),
+        F.min(F.coalesce("ref", "obj")).alias("sample_path"),
+    )

@@ -228,6 +228,17 @@ _PRIORITY = [
     "book_slippage_curve",
     "embedding_norm_audit",
     "hits_hub_authority",
+    # ---- (a12) sketch-discipline + lake-hygiene additions: HLL
+    #      distinct-count with an in-plan error gate (the audit that
+    #      licenses swapping exact COUNT(DISTINCT) for a sketch at
+    #      frontier scale) and the media-store referential-integrity
+    #      audit — zero driver history by construction. Two more
+    #      (d)-tail rows with r01/r02 evidence fall out of the window
+    #      (asof_join_purchase_view, range_join_error_follow — the
+    #      as-of family keeps its machinery driver-exercised through
+    #      trade_markout_5m's leeready as-of carry, in-window).
+    "distinct_sketch_gate",
+    "media_ref_integrity",
     # ---- (b) canaries ----
     "parse_binance_spot_trade",
     "route_mixed_exchanges",
