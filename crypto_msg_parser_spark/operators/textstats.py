@@ -625,8 +625,11 @@ COLLOC_TOPK = 20
     "engine's exact range). The four counts publish alongside so the "
     "gate is anchored on integers. Shape: one explode+groupBy each "
     "for unigrams and bigrams, the vocabulary-sized unigram table "
-    "broadcast-joined TWICE onto the bigram counts (left word, right "
-    "word), the 1-row corpus total cross-joined (documented grand-"
+    "joined TWICE onto the bigram counts (left word, right word) with "
+    "NO broadcast hint — the vocabulary is unbounded at corpus scale, "
+    "so AQE chooses (broadcast when measured small, shuffle+skew-split "
+    "otherwise, the module's word_rarity contract), the 1-row corpus "
+    "total cross-joined (documented grand-"
     "total crossJoin, same as corpus_pack_sequences), min-count "
     "pre-filter BEFORE the joins so the joined frame is heavy-hitters "
     "only, and ORDER BY LIMIT compiling to TakeOrderedAndProject — "
@@ -652,11 +655,12 @@ def collocation_lift_topk(spark, sf_dir):
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
-    j = (
-        parts.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(n))
-    )
+    # No broadcast hint on the unigram attaches: the vocabulary is
+    # unbounded at corpus scale (Heaps' law), so the module contract —
+    # AQE picks broadcast when the side measures small, shuffle join
+    # with skew split otherwise — applies here exactly as it does to
+    # word_rarity_score. Only the 1-row grand total is hinted.
+    j = parts.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(n))
     return (
         j.select(
             "ngram",

@@ -5202,21 +5202,22 @@ def book_slippage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("price")).alias("px"),
         F.round(F.col("qty") * 10).cast("long").alias("deci"),
     )
-    targets = (
-        F.broadcast(
-            lvl.sparkSession.createDataFrame(
-                [(1000,), (5000,), (20000,)], "target long"
-            )
-        )
-    )
+    # The 3-size order ladder is generated per level row with explode —
+    # a Generate operator, not a join. The earlier crossJoin(broadcast(
+    # 3-row df)) form compiled to BroadcastNestedLoopJoin; a 3-row build
+    # side is bounded at any scale, but the explode removes even that
+    # exchange and keeps the plan join-free up to the window.
     w = (
         W.partitionBy("symbol", "target")
         .orderBy("px")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    wk = lvl.crossJoin(targets).withColumn(
-        "cum_before", F.coalesce(F.sum("deci").over(w), F.lit(0))
-    )
+    wk = lvl.withColumn(
+        "target",
+        F.explode(
+            F.array(F.lit(1000), F.lit(5000), F.lit(20000)).cast("array<long>")
+        ),
+    ).withColumn("cum_before", F.coalesce(F.sum("deci").over(w), F.lit(0)))
     f = wk.filter(F.col("cum_before") < F.col("target")).select(
         "symbol",
         "target",

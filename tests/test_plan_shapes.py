@@ -47,11 +47,14 @@ def test_no_cartesian_products_anywhere(spark):
     # same broadcast-query-set x corpus pass
     # corpus_drift_topk cross-joins the same kind of SINGLE-row global
     # aggregate (the two snapshot token totals) — 1-row build side,
-    # bounded at any scale
+    # bounded at any scale; collocation_lift_topk cross-joins the 1-row
+    # corpus token total onto the min-count-filtered bigram heavy
+    # hitters (same grand-total pattern, documented in its docstring)
     allowed_bnl = {
         "ann_cosine_topk",
         "ann_recall_report",
         "ann_ivf_kmeans_gate",
+        "collocation_lift_topk",
         "corpus_domain_rebalance",
         "corpus_drift_topk",
     }
@@ -154,9 +157,10 @@ def test_word_rarity_skew_contract(spark):
     the word-key join is maximally skewed at corpus scale (stop words
     touch ~every doc), and the engine's contract is AQE's skew-join split
     — NOT a forced broadcast of the unbounded vocabulary side. Guard both
-    halves: the session must keep skew-join handling on, and the operator
-    source must not hint a broadcast; textstats keeps zero F.broadcast
-    hints like dedup/corpus."""
+    halves: the session must keep skew-join handling on, and no word-keyed
+    join in textstats may hint a broadcast; the module's single allowed
+    F.broadcast is collocation_lift_topk's 1-row grand-total crossJoin
+    (a bounded build side at any scale, documented in its docstring)."""
     import pathlib
 
     import crypto_msg_parser_spark.operators.textstats as textstats_mod
@@ -164,7 +168,8 @@ def test_word_rarity_skew_contract(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     src = pathlib.Path(textstats_mod.__file__).read_text()
-    assert "F.broadcast(" not in src
+    assert src.count("F.broadcast(") == 1
+    assert "crossJoin(F.broadcast(n))" in src
     plan = _plan(spark, "word_rarity_score")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
