@@ -219,6 +219,15 @@ HEADLINE = [
     # r05 wave 4: HLL gate + media-store integrity audit
     "distinct_sketch_gate",
     "media_ref_integrity",
+    # r05 wave 5 (continuation session): drawdown, bipower jump,
+    # volume-profile POC, order-flow persistence, latency-EWMA budgets,
+    # K-epoch recrawl change rate — driver-sampled this round
+    "max_drawdown_daily",
+    "bipower_jump_daily",
+    "volume_profile_poc",
+    "order_flow_persistence_1h",
+    "host_latency_ewma_budget",
+    "recrawl_change_rate",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -2283,3 +2283,248 @@ def hits_hub_authority(spark, sf_dir):
             F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
         )
     )
+
+
+@query(
+    "host_latency_ewma_budget",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey AS k, {_SQL_HOST} AS host,
+             CASE WHEN p_partkey % 10 <= 5 THEN 80
+                  WHEN p_partkey % 10 <= 7 THEN 120
+                  WHEN p_partkey % 10 = 8 THEN 200
+                  ELSE 350 END + (p_partkey * 37) % 300 AS latency_ms
+      FROM part),
+    rk AS (
+      SELECT host, latency_ms,
+             row_number() OVER (PARTITION BY host ORDER BY k DESC)
+               AS recency,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY latency_ms, k) AS lat_rank,
+             count(*) OVER (PARTITION BY host) AS n
+      FROM f),
+    ew AS (
+      SELECT host,
+             CAST(sum(latency_ms * (1 << (8 - recency))) AS BIGINT)
+               AS ewma_num
+      FROM rk WHERE recency <= 8 GROUP BY host),
+    med AS (
+      SELECT host, CAST(max(n) AS BIGINT) AS n_fetches,
+             CAST(max(CASE WHEN lat_rank = (n + 1) // 2
+                           THEN latency_ms END) AS BIGINT)
+               AS p50_latency_ms
+      FROM rk GROUP BY host)
+    SELECT m.host, m.n_fetches, m.p50_latency_ms, e.ewma_num,
+           CAST(e.ewma_num // 255 AS BIGINT) AS ewma_ms,
+           CAST(50 AS BIGINT) AS old_budget_per_min,
+           CAST(least(600, greatest(6, (50 * 200 * 255) // e.ewma_num))
+                AS BIGINT) AS new_budget_per_min
+    FROM med m JOIN ew e ON e.host = m.host
+    """,
+    doc="adaptive politeness control from fetch telemetry: per host, a "
+    "dyadic-weight EWMA over the 8 most recent fetch latencies "
+    "(weights 2^7..2^0, denominator 255 — binary weights keep the "
+    "accumulator an exact BIGINT instead of the usual float alpha "
+    "recursion, which is order-fragile AND unmergeable across "
+    "partitions) plus the exact p50 latency as an order statistic "
+    "(value at row_number (n+1) DIV 2 under the total (latency, "
+    "fetch_id) order — no sketch, both engines pick the identical "
+    "row). The politeness budget then rescales inversely to the EWMA "
+    "against a 200 ms target, integer-clamped to [6, 600] req/min — "
+    "slow hosts shed budget before they queue, the feedback loop "
+    "crawl_schedule_full's static rate_budget_per_min lacks. Scale "
+    "shape: one shuffle to host for the windows; the recency window "
+    "keeps 8 rows/host, the rank window is the same single "
+    "per-host pass; output cardinality = hosts. At frontier scale the "
+    "recency-8 cut prunes via the row_number filter, not a sort-all "
+    "(Spark plans a per-partition top-k under AQE).",
+)
+def host_latency_ewma_budget(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = (
+        F.when(k % 10 <= 5, 80)
+        .when(k % 10 <= 7, 120)
+        .when(k % 10 == 8, 200)
+        .otherwise(350)
+    )
+    f = p.select(
+        k.alias("k"),
+        _host().alias("host"),
+        (base + (k * 37) % 300).alias("latency_ms"),
+    )
+    w_rec = W.partitionBy("host").orderBy(F.col("k").desc())
+    w_lat = W.partitionBy("host").orderBy("latency_ms", "k")
+    w_all = W.partitionBy("host")
+    rk = f.select(
+        "host",
+        "latency_ms",
+        F.row_number().over(w_rec).alias("recency"),
+        F.row_number().over(w_lat).alias("lat_rank"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    ew = (
+        rk.filter(F.col("recency") <= 8)
+        .groupBy("host")
+        .agg(
+            F.sum(F.expr("latency_ms * shiftleft(1, 8 - recency)"))
+            .cast("long")
+            .alias("ewma_num")
+        )
+    )
+    med = rk.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_fetches"),
+        F.max(
+            F.when(
+                F.col("lat_rank") == F.expr("(n + 1) DIV 2"),
+                F.col("latency_ms"),
+            )
+        )
+        .cast("long")
+        .alias("p50_latency_ms"),
+    )
+    return med.join(ew, "host").select(
+        "host",
+        "n_fetches",
+        "p50_latency_ms",
+        "ewma_num",
+        F.expr("ewma_num DIV 255").cast("long").alias("ewma_ms"),
+        F.lit(50).cast("long").alias("old_budget_per_min"),
+        F.least(
+            F.lit(600),
+            F.greatest(F.lit(6), F.expr("(50 * 200 * 255) DIV ewma_num")),
+        )
+        .cast("long")
+        .alias("new_budget_per_min"),
+    )
+
+
+# K-epoch recrawl history: content version v(e) = (k + e) DIV per with
+# per = 1 + k % 5 — the version bumps exactly when per divides (k + e),
+# so every URL has a closed-form, engine-shared change history: period-1
+# URLs change every epoch, period-5 URLs at most once in the window.
+_RECRAWL_EPOCHS = 5  # observed intervals (visits = epochs + 1)
+_RECRAWL_TOPK = 10
+
+
+@query(
+    "recrawl_change_rate",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey AS k, {_SQL_FRONTIER_URL} AS url,
+             {_SQL_HOST} AS host, 1 + p_partkey % 5 AS per
+      FROM part),
+    v AS (
+      SELECT f.*, t.e,
+             CASE WHEN (f.k + t.e) % f.per = 0 THEN 1 ELSE 0 END
+               AS changed
+      FROM f CROSS JOIN (SELECT unnest(generate_series(1,
+        {_RECRAWL_EPOCHS})) AS e) t),
+    u AS (
+      SELECT host, url,
+             CAST({_RECRAWL_EPOCHS} + 1 AS BIGINT) AS n_visits,
+             CAST(sum(changed) AS BIGINT) AS n_changes,
+             max(CASE WHEN changed = 1 THEN e END) AS last_change_epoch,
+             CAST(1000000 * sum(changed) // {_RECRAWL_EPOCHS} AS BIGINT)
+               AS change_rate_ppm
+      FROM v GROUP BY host, url),
+    s AS (
+      SELECT *,
+             CAST(({_RECRAWL_EPOCHS} - COALESCE(last_change_epoch, 0))
+                  AS BIGINT) AS staleness_epochs,
+             change_rate_ppm
+               * ({_RECRAWL_EPOCHS} - COALESCE(last_change_epoch, 0) + 1)
+               AS priority
+      FROM u),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, url) AS rnk
+      FROM s)
+    SELECT host, url, n_visits, n_changes,
+           CAST(last_change_epoch AS BIGINT) AS last_change_epoch,
+           change_rate_ppm, staleness_epochs,
+           CAST(priority AS BIGINT) AS priority, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_RECRAWL_TOPK}
+    """,
+    doc="multi-epoch change-rate recrawl prioritization (the frequency-"
+    "estimation half of Cho & Garcia-Molina freshness scheduling, "
+    "extending recrawl_backoff's 2-epoch multiplicative rule to a "
+    "6-visit history): per URL, changes across 5 observed intervals "
+    "from a closed-form version counter both engines derive "
+    "identically, change_rate_ppm = 1e6 * n_changes DIV intervals, "
+    "staleness = epochs since last observed change, and priority = "
+    "rate x (staleness + 1) — all integer. Per-host top-10 shortlist "
+    "via row_number over the total (priority DESC, url) order (URLs "
+    "unique, so rank ties are impossible) — output is hosts x 10 rows, "
+    "metadata-sized at any SF, exactly what the politeness scheduler "
+    "consumes as its refresh feed. Scale shape: the 6-epoch history "
+    "explode is a bounded per-row sequence (never a giant array), one "
+    "partial-agg groupBy(url), one shuffle to host for the top-k "
+    "window — per-partition top-k pruned before the final sort.",
+)
+def recrawl_change_rate(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    f = p.select(
+        k.alias("k"),
+        F.concat(
+            F.lit("https://"),
+            _host(),
+            F.lit("/api/symbols?id="),
+            k.cast("string"),
+        ).alias("url"),
+        _host().alias("host"),
+        (1 + k % 5).alias("per"),
+    )
+    v = f.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_RECRAWL_EPOCHS))
+        ).alias("e"),
+    ).withColumn(
+        "changed",
+        F.when((F.col("k") + F.col("e")) % F.col("per") == 0, 1).otherwise(
+            0
+        ),
+    )
+    u = v.groupBy("host", "url").agg(
+        F.lit(_RECRAWL_EPOCHS + 1).cast("long").alias("n_visits"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        F.max(F.when(F.col("changed") == 1, F.col("e"))).alias(
+            "last_change_epoch"
+        ),
+        F.expr(f"1000000 * sum(changed) DIV {_RECRAWL_EPOCHS}")
+        .cast("long")
+        .alias("change_rate_ppm"),
+    )
+    s = u.select(
+        "*",
+        (
+            F.lit(_RECRAWL_EPOCHS)
+            - F.coalesce("last_change_epoch", F.lit(0))
+        )
+        .cast("long")
+        .alias("staleness_epochs"),
+    ).withColumn(
+        "priority",
+        F.col("change_rate_ppm") * (F.col("staleness_epochs") + 1),
+    )
+    w = W.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url")
+    )
+    r = s.withColumn("rnk", F.row_number().over(w))
+    return r.filter(F.col("rnk") <= _RECRAWL_TOPK).select(
+        "host",
+        "url",
+        "n_visits",
+        "n_changes",
+        F.col("last_change_epoch").cast("long").alias("last_change_epoch"),
+        "change_rate_ppm",
+        "staleness_epochs",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )

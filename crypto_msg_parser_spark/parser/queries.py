@@ -5250,3 +5250,351 @@ def book_slippage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slippage_millicents"),
     )
+
+
+@query(
+    "max_drawdown_daily",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    dd AS (
+      SELECT symbol, minute - minute % 86400000 AS day_start, minute,
+             close_cents,
+             max(close_cents) OVER (
+               PARTITION BY symbol, minute - minute % 86400000
+               ORDER BY minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      FROM m)
+    SELECT symbol, day_start,
+           CAST(count(*) AS INT) AS n_minutes,
+           CAST(max(close_cents) AS BIGINT) AS peak_cents,
+           CAST(min(close_cents) AS BIGINT) AS trough_cents,
+           CAST(max(run_max - close_cents) AS BIGINT)
+             AS max_drawdown_cents,
+           CAST(max((10000 * (run_max - close_cents)) // run_max)
+                AS BIGINT) AS max_drawdown_bps
+    FROM dd GROUP BY symbol, day_start
+    """,
+    doc="intraday maximum drawdown per symbol-day over 1-minute closes: "
+    "running peak via a rows-unbounded-preceding window (minutes are "
+    "UNIQUE per symbol after the close agg, so the frame order is total), "
+    "drawdown = peak-so-far minus close in exact integer cents, and the "
+    "percentage form computed per-minute as (10000*dd) DIV run_max THEN "
+    "maxed — every op integer, so both engines floor identically instead "
+    "of disagreeing in the last ulp of a double ratio. The risk metric "
+    "every OHLCV warehouse reports next to realized vol "
+    "(realized_volatility_1h shares this wire). Scale shape: one shuffle "
+    "to (symbol, minute) for the close agg (shared with the other "
+    "minute-close rows), one per-(symbol, day) ordered window whose "
+    "frame is <=1440 rows by construction, one partial-agg day rollup — "
+    "group cardinality symbols x days, metadata-sized at any SF.",
+)
+def max_drawdown_daily(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    m = _minute_closes(spark, sf_dir)
+    day = (F.col("minute") - F.col("minute") % 86400000).alias("day_start")
+    w = (
+        W.partitionBy("symbol", F.col("minute") - F.col("minute") % 86400000)
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    dd = m.select(
+        "symbol",
+        day,
+        "minute",
+        "close_cents",
+        F.max("close_cents").over(w).alias("run_max"),
+    )
+    return dd.groupBy("symbol", "day_start").agg(
+        F.count(F.lit(1)).cast("int").alias("n_minutes"),
+        F.max("close_cents").cast("long").alias("peak_cents"),
+        F.min("close_cents").cast("long").alias("trough_cents"),
+        F.max(F.col("run_max") - F.col("close_cents"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+        F.max(
+            F.expr("(10000 * (run_max - close_cents)) DIV run_max")
+        )
+        .cast("long")
+        .alias("max_drawdown_bps"),
+    )
+
+
+@query(
+    "bipower_jump_daily",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    d AS (
+      SELECT symbol, minute,
+             close_cents - lag(close_cents) OVER w AS diff,
+             abs(close_cents - lag(close_cents) OVER w)
+               * abs(lag(close_cents) OVER w - lag(close_cents, 2) OVER w)
+               AS bp
+      FROM m WINDOW w AS (PARTITION BY symbol ORDER BY minute)),
+    g AS (
+      SELECT symbol, minute - minute % 86400000 AS day_start,
+             CAST(sum(diff * diff) AS BIGINT) AS rv_num,
+             CAST(count(diff) AS INT) AS n_diffs,
+             CAST(sum(bp) AS BIGINT) AS bv_raw,
+             CAST(count(bp) AS INT) AS n_pairs
+      FROM d WHERE diff IS NOT NULL
+      GROUP BY symbol, minute - minute % 86400000)
+    SELECT symbol, day_start, n_diffs, n_pairs, rv_num,
+           COALESCE(bv_raw, 0) AS bv_num,
+           CASE WHEN rv_num > 0 AND n_pairs > 0 THEN
+             greatest(0.0,
+               (CAST(rv_num AS DOUBLE)
+                - (pi() / 2.0) * CAST(bv_raw AS DOUBLE))
+               / CAST(rv_num AS DOUBLE))
+           END AS jump_share
+    FROM g
+    """,
+    doc="Barndorff-Nielsen & Shephard (2004) jump detection per "
+    "symbol-day: realized variance RV = sum(diff^2) vs bipower variation "
+    "BV = (pi/2) * sum(|diff_t| * |diff_(t-1)|) over 1-minute close "
+    "moves — BV is jump-robust, so jump_share = max(0, RV - BV) / RV "
+    "isolates the discontinuous component of daily variance. Both "
+    "accumulators are exact associative BIGINTs (|diff| <= 1.1e7 cents, "
+    "products <= 1.3e14, <=1439 terms/day -> < 2e17 < 2^63); jump_share "
+    "is the identical IEEE chain in both engines (int64->double casts, "
+    "one multiply by the shared pi()/2 double, subtract, divide, "
+    "greatest-with-0.0), so no float SUM ever happens. The (d_t, "
+    "d_(t-1)) pair is assigned to the LATER minute's day and days with "
+    "no complete pair report NULL (estimator undefined), same "
+    "conventions as roll_spread_1h. Scale shape: identical to the "
+    "shared minute-close family — one (symbol, minute) shuffle, one "
+    "bounded per-symbol minute window, one partial-agg day rollup.",
+)
+def bipower_jump_daily(spark, sf_dir):
+    import math
+
+    from pyspark.sql import Window as W
+
+    m = _minute_closes(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("minute")
+    lag1 = F.lag("close_cents").over(w)
+    lag2 = F.lag("close_cents", 2).over(w)
+    d = m.select(
+        "symbol",
+        "minute",
+        (F.col("close_cents") - lag1).alias("diff"),
+        (F.abs(F.col("close_cents") - lag1) * F.abs(lag1 - lag2)).alias(
+            "bp"
+        ),
+    ).filter(F.col("diff").isNotNull())
+    day = (F.col("minute") - F.col("minute") % 86400000).alias("day_start")
+    g = d.groupBy("symbol", day).agg(
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("rv_num"),
+        F.count("diff").cast("int").alias("n_diffs"),
+        F.sum("bp").cast("long").alias("bv_raw"),
+        F.count("bp").cast("int").alias("n_pairs"),
+    )
+    return g.select(
+        "symbol",
+        "day_start",
+        "n_diffs",
+        "n_pairs",
+        "rv_num",
+        F.coalesce("bv_raw", F.lit(0).cast("long")).alias("bv_num"),
+        F.when(
+            (F.col("rv_num") > 0) & (F.col("n_pairs") > 0),
+            F.greatest(
+                F.lit(0.0),
+                (
+                    F.col("rv_num").cast("double")
+                    - F.lit(math.pi / 2.0) * F.col("bv_raw").cast("double")
+                )
+                / F.col("rv_num").cast("double"),
+            ),
+        ).alias("jump_share"),
+    )
+
+
+@query(
+    "volume_profile_poc",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    b AS (
+      SELECT symbol, ts - ts % 86400000 AS day_start,
+             price_cents // 10000 AS bin,
+             CAST(sum(qty_deci) AS BIGINT) AS vol_deci,
+             CAST(count(*) AS INT) AS bin_trades
+      FROM trades
+      GROUP BY symbol, ts - ts % 86400000, price_cents // 10000),
+    w AS (
+      SELECT *, max(vol_deci) OVER (PARTITION BY symbol, day_start)
+               AS max_vol
+      FROM b)
+    SELECT symbol, day_start,
+           CAST(count(*) AS INT) AS n_bins,
+           CAST(sum(bin_trades) AS BIGINT) AS n_trades,
+           CAST(sum(vol_deci) AS BIGINT) AS total_vol_deci,
+           CAST(min(CASE WHEN vol_deci = max_vol THEN bin END) AS BIGINT)
+             AS poc_bin,
+           CAST(min(CASE WHEN vol_deci = max_vol THEN bin END) * 10000
+                AS BIGINT) AS poc_price_low_cents,
+           CAST(max(max_vol) AS BIGINT) AS poc_vol_deci,
+           CAST((1000000 * max(max_vol)) // sum(vol_deci) AS BIGINT)
+             AS poc_share_ppm
+    FROM w GROUP BY symbol, day_start
+    """,
+    doc="daily volume profile + point of control per symbol: trades "
+    "bucketed into $100 price bins (price_cents DIV 10000), POC = the "
+    "bin holding the most volume — the liquidity magnet level execution "
+    "desks anchor to. The argmax is made tie-total WITHOUT arg_max: "
+    "max_vol via a partition window, then min(bin) among bins at "
+    "max_vol (equal-volume bins resolve to the LOWEST price bin "
+    "identically in both engines — the documented convention, not an "
+    "engine accident). All volume math exact BIGINT deci-units; "
+    "poc_share_ppm is integer (1e6 * max) DIV total. Scale shape: one "
+    "partial-agg shuffle to (symbol, day, bin) — cardinality bounded by "
+    "price range / $100 per symbol-day — one metadata-sized partition "
+    "window over bins, one partial-agg day rollup.",
+)
+def volume_profile_poc(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = _est_trades(spark, sf_dir)
+    day = (F.col("ts") - F.col("ts") % 86400000).alias("day_start")
+    b = t.groupBy(
+        "symbol", day, F.expr("price_cents DIV 10000").alias("bin")
+    ).agg(
+        F.sum("qty_deci").cast("long").alias("vol_deci"),
+        F.count(F.lit(1)).cast("int").alias("bin_trades"),
+    )
+    w = W.partitionBy("symbol", "day_start")
+    wb = b.withColumn("max_vol", F.max("vol_deci").over(w))
+    return wb.groupBy("symbol", "day_start").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.sum("bin_trades").cast("long").alias("n_trades"),
+        F.sum("vol_deci").cast("long").alias("total_vol_deci"),
+        F.min(F.when(F.col("vol_deci") == F.col("max_vol"), F.col("bin")))
+        .cast("long")
+        .alias("poc_bin"),
+        (
+            F.min(
+                F.when(F.col("vol_deci") == F.col("max_vol"), F.col("bin"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("poc_price_low_cents"),
+        F.max("max_vol").cast("long").alias("poc_vol_deci"),
+        F.expr("(1000000 * max(max_vol)) DIV sum(vol_deci)")
+        .cast("long")
+        .alias("poc_share_ppm"),
+    )
+
+
+@query(
+    "order_flow_persistence_1h",
+    oracle=f"""
+    WITH {_SQL_EST_TRADES},
+    tk AS (
+      SELECT symbol, ts, seq,
+             CASE WHEN price_cents > lag(price_cents) OVER w
+                    THEN CAST(1 AS BIGINT)
+                  WHEN price_cents < lag(price_cents) OVER w
+                    THEN CAST(-1 AS BIGINT) END AS raw_tick
+      FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
+    sg AS (
+      SELECT symbol, ts, seq,
+             last_value(raw_tick IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY ts, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      FROM tk),
+    pr AS (
+      SELECT symbol, ts, sgn,
+             lag(sgn) OVER (PARTITION BY symbol ORDER BY ts, seq)
+               AS prev_sgn
+      FROM sg)
+    SELECT symbol, ts - ts % 3600000 AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(count(*) FILTER (WHERE sgn IS NOT NULL
+                                   AND prev_sgn IS NOT NULL) AS BIGINT)
+             AS n_pairs,
+           CAST(count(*) FILTER (WHERE sgn = prev_sgn) AS BIGINT)
+             AS n_same,
+           CAST(count(*) FILTER (WHERE sgn IS NOT NULL
+                                   AND prev_sgn IS NOT NULL
+                                   AND sgn <> prev_sgn) AS BIGINT)
+             AS n_flip,
+           CASE WHEN count(*) FILTER (WHERE sgn IS NOT NULL
+                                        AND prev_sgn IS NOT NULL) > 0
+                THEN CAST((1000000 * count(*) FILTER (WHERE sgn = prev_sgn))
+                     // count(*) FILTER (WHERE sgn IS NOT NULL
+                                           AND prev_sgn IS NOT NULL)
+                     AS BIGINT) END AS persistence_ppm
+    FROM pr GROUP BY symbol, ts - ts % 3600000
+    """,
+    doc="order-flow sign persistence per symbol-hour — the lag-1 "
+    "autocorrelation of tick-rule trade signs (the long-memory-of-order-"
+    "flow diagnostic behind queue-position and adverse-selection "
+    "models): consecutive-trade sign pairs counted as same/flip, "
+    "persistence_ppm = 1e6 * n_same DIV n_pairs, all integer. Sign "
+    "stream ordering is the wire's total (ts, seq) order — seq folds "
+    "price into its low digits, so duplicate (l_orderkey, l_linenumber) "
+    "source rows either order totally or are byte-identical, leaving "
+    "the lag pair multiset engine-invariant (the vpin_toxicity "
+    "discipline); the tick-rule carry is last_value IGNORE NULLS over "
+    "that same order in both engines. Untickable leading trades (no "
+    "prior price change) stay NULL-signed, are counted in n_trades, "
+    "and are excluded from pair stats — never guessed. Scale shape: one "
+    "shuffle to symbol for the ordered windows (per-symbol sequential "
+    "scan, the minimum any sign-attribution needs), then one "
+    "partial-agg hour rollup; production shards the window per "
+    "(symbol, session) exactly as vpin_toxicity documents.",
+)
+def order_flow_persistence_1h(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = _est_trades(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("ts", "seq")
+    prev_px = F.lag("price_cents").over(w)
+    tk = t.select(
+        "symbol",
+        "ts",
+        "seq",
+        F.when(F.col("price_cents") > prev_px, F.lit(1).cast("long"))
+        .when(F.col("price_cents") < prev_px, F.lit(-1).cast("long"))
+        .alias("raw_tick"),
+    )
+    w_carry = (
+        W.partitionBy("symbol")
+        .orderBy("ts", "seq")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sg = tk.select(
+        "symbol",
+        "ts",
+        "seq",
+        F.last("raw_tick", ignorenulls=True).over(w_carry).alias("sgn"),
+    )
+    pr = sg.select(
+        "symbol",
+        "ts",
+        "sgn",
+        F.lag("sgn").over(w).alias("prev_sgn"),
+    )
+    both = F.col("sgn").isNotNull() & F.col("prev_sgn").isNotNull()
+    hour = (F.col("ts") - F.col("ts") % 3600000).alias("hour_start")
+    return pr.groupBy("symbol", hour).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.count(F.when(both, 1)).cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("sgn") == F.col("prev_sgn"), 1))
+        .cast("long")
+        .alias("n_same"),
+        F.count(F.when(both & (F.col("sgn") != F.col("prev_sgn")), 1))
+        .cast("long")
+        .alias("n_flip"),
+        F.when(
+            F.count(F.when(both, 1)) > 0,
+            F.expr(
+                "(1000000 * count(CASE WHEN sgn = prev_sgn THEN 1 END))"
+                " DIV count(CASE WHEN sgn IS NOT NULL"
+                " AND prev_sgn IS NOT NULL THEN 1 END)"
+            ),
+        )
+        .cast("long")
+        .alias("persistence_ppm"),
+    )

@@ -239,18 +239,48 @@ _PRIORITY = [
     #      trade_markout_5m's leeready as-of carry, in-window).
     "distinct_sketch_gate",
     "media_ref_integrity",
-    # ---- (b) canaries ----
-    "parse_binance_spot_trade",
+    # ---- (a13) continuation-session wave 5: intraday max drawdown,
+    #      BNS bipower jump detection, volume-profile POC, order-flow
+    #      sign persistence (all on the shared minute-close/trade wire),
+    #      plus adaptive per-host latency-EWMA politeness budgets and
+    #      K-epoch change-rate recrawl prioritization — zero driver
+    #      history by construction. Six rows with r03/r04 driver-green
+    #      evidence fall out of the 50-slot window to make room:
+    #      parse_binance_spot_trade (r04; every binance arm stays
+    #      driver-exercised through route_mixed_exchanges, in-window),
+    #      web_corpus_prep_full (r04; corpus_prep_full keeps the
+    #      composed-pipeline family in-window), frontier_stream_resume
+    #      (r04; the keyed-state family keeps frontier_seen_batch_replay
+    #      in-window), stream_candles_1m / stream_rate_limit /
+    #      events_stream_late_drop (r03-r04; only the shared
+    #      finalize_memory_sink return path changed this round, and the
+    #      kept stream_book_reconstruct / stream_book_resync /
+    #      crawl_stream_docs_replay rows exercise that exact path in the
+    #      graded sample).
+    "max_drawdown_daily",
+    "bipower_jump_daily",
+    "volume_profile_poc",
+    "order_flow_persistence_1h",
+    "host_latency_ewma_budget",
+    "recrawl_change_rate",
+    # ---- (b) canaries (kept in-window after the (a13) displacement:
+    #      route = all 20 parse arms, corpus_prep_full = the composed
+    #      corpus pipeline, frontier_seen_batch_replay = keyed-state
+    #      replay) ----
     "route_mixed_exchanges",
     "corpus_prep_full",
-    "web_corpus_prep_full",
     "frontier_seen_batch_replay",
-    "frontier_stream_resume",
-    # ---- (c) streaming rows refactored this round ----
+    # ---- (c) streaming rows kept in-window: the two tie-key semantic
+    #      fixes of this round plus one finalize-path representative ----
     "stream_book_reconstruct",
     "stream_book_resync",
-    "stream_candles_1m",
     "crawl_stream_docs_replay",
+    # ---- below this line: displaced by (a13), r03/r04 driver evidence
+    #      on record, still green in the full-registry local replay ----
+    "parse_binance_spot_trade",
+    "web_corpus_prep_full",
+    "frontier_stream_resume",
+    "stream_candles_1m",
     "stream_rate_limit",
     "events_stream_late_drop",
     # ---- (d) oldest driver evidence: r01 ----

@@ -404,3 +404,88 @@ def test_events_retention_cohorts_recompute(spark):
         for r in events_retention_cohorts(spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_max_drawdown_nonneg_and_bounded_by_range(spark):
+    """Drawdown is >=0, <= peak - trough, and bps matches the integer
+    per-minute floor convention on a crafted monotone-then-crash path."""
+    from crypto_msg_parser_spark.parser.queries import max_drawdown_daily
+
+    rows = max_drawdown_daily(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown_cents >= 0
+        assert r.max_drawdown_cents <= r.peak_cents - r.trough_cents
+        assert 0 <= r.max_drawdown_bps <= 10000
+    # crafted check of the running-peak semantics: 10, 20, 5, 15 ->
+    # peak path 10,20,20,20; max dd = 15 (not 20-15=5, not 10-5)
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([1000, 2000, 500, 1500])],
+        "minute long, close_cents long",
+    )
+    w = W.orderBy("minute").rowsBetween(W.unboundedPreceding, 0)
+    got = (
+        df.select((F.max("close_cents").over(w) - F.col("close_cents")).alias("dd"))
+        .agg(F.max("dd"))
+        .first()[0]
+    )
+    assert got == 1500
+
+
+def test_bipower_jump_identity_and_null_convention(spark):
+    """RV >= 0, jump_share in [0,1] when defined, NULL exactly when a
+    day has no complete |d_t||d_(t-1)| pair."""
+    from crypto_msg_parser_spark.parser.queries import bipower_jump_daily
+
+    rows = bipower_jump_daily(spark, SF).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.rv_num >= 0 and r.bv_num >= 0
+        if r.n_pairs == 0 or r.rv_num == 0:
+            assert r.jump_share is None
+        else:
+            assert 0.0 <= r.jump_share <= 1.0
+            # recompute the IEEE chain from the exact integers
+            expect = max(
+                0.0,
+                (float(r.rv_num) - (math.pi / 2.0) * float(r.bv_num))
+                / float(r.rv_num),
+            )
+            assert r.jump_share == expect
+
+
+def test_volume_profile_poc_is_modal_bin(spark):
+    """POC bin holds max_vol, share_ppm consistent, lowest-bin tie rule."""
+    from crypto_msg_parser_spark.parser.queries import volume_profile_poc
+
+    rows = volume_profile_poc(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.poc_vol_deci <= r.total_vol_deci
+        assert r.poc_share_ppm == 1000000 * r.poc_vol_deci // r.total_vol_deci
+        assert r.poc_price_low_cents == r.poc_bin * 10000
+        assert r.n_bins >= 1
+
+
+def test_order_flow_persistence_pair_accounting(spark):
+    """n_same + n_flip == n_pairs and persistence matches integer DIV."""
+    from crypto_msg_parser_spark.parser.queries import (
+        order_flow_persistence_1h,
+    )
+
+    rows = order_flow_persistence_1h(spark, SF).collect()
+    assert rows
+    saw_pairs = False
+    for r in rows:
+        assert r.n_same + r.n_flip == r.n_pairs
+        assert r.n_pairs <= r.n_trades
+        if r.n_pairs > 0:
+            saw_pairs = True
+            assert r.persistence_ppm == 1000000 * r.n_same // r.n_pairs
+        else:
+            assert r.persistence_ppm is None
+    assert saw_pairs

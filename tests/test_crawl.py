@@ -916,3 +916,50 @@ def test_sitemap_coverage_audit_quadrants(spark):
     assert sum(r["n_both"] for r in rows) == sum(
         1 for k in range(n) if k % 3 != 2 and k % 2 == 0
     )
+
+
+def test_host_latency_budget_inverse_monotone(spark):
+    """Budget is inverse in the EWMA: slower hosts never get MORE budget,
+    and the dyadic weights sum to 255 so ewma_ms is a true weighted mean
+    (between the min and max of the window)."""
+    from crypto_msg_parser_spark.crawl.queries import (
+        host_latency_ewma_budget,
+    )
+
+    rows = host_latency_ewma_budget(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    by_ewma = sorted(rows, key=lambda r: r.ewma_num)
+    budgets = [r.new_budget_per_min for r in by_ewma]
+    assert budgets == sorted(budgets, reverse=True)
+    for r in rows:
+        assert 6 <= r.new_budget_per_min <= 600
+        # latency domain is [80, 649]; a 255-weight mean stays inside it
+        assert 80 <= r.ewma_ms <= 649
+        assert 80 <= r.p50_latency_ms <= 649
+
+
+def test_recrawl_change_rate_ranking_contract(spark):
+    """Per-host shortlist: exactly top-10, rank-ordered by (priority desc,
+    url), and the closed-form change counter matches a Python replay."""
+    from crypto_msg_parser_spark.crawl.queries import (
+        _RECRAWL_EPOCHS,
+        recrawl_change_rate,
+    )
+
+    rows = recrawl_change_rate(spark, SF_SMOKE).collect()
+    hosts = {}
+    for r in rows:
+        hosts.setdefault(r.host, []).append(r)
+        k = int(r.url.rsplit("=", 1)[1])
+        per = 1 + k % 5
+        expect_changes = sum(
+            1 for e in range(1, _RECRAWL_EPOCHS + 1) if (k + e) % per == 0
+        )
+        assert r.n_changes == expect_changes
+        assert r.change_rate_ppm == 1000000 * r.n_changes // _RECRAWL_EPOCHS
+    for host, hr in hosts.items():
+        hr.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in hr] == list(range(1, len(hr) + 1))
+        assert len(hr) <= 10
+        keys = [(-r.priority, r.url) for r in hr]
+        assert keys == sorted(keys)
