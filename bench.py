@@ -228,6 +228,12 @@ HEADLINE = [
     "order_flow_persistence_1h",
     "host_latency_ewma_budget",
     "recrawl_change_rate",
+    # r05 wave 6: stickiness, scale-safe ntile deciles, OOV audit,
+    # padding-efficiency audit — driver-sampled this round
+    "events_stickiness_weekly",
+    "events_power_users_decile",
+    "oov_rate_by_source",
+    "batch_padding_efficiency",
 ]
 
 # Queries whose spark_fn RUNS a Structured Streaming job and returns its

@@ -749,3 +749,107 @@ def corpus_chunk_overlap(spark, sf_dir):
             " ",
         ).alias("chunk_text"),
     )
+
+
+# power-of-2 padding buckets up to 2^16 tokens; computed via an explicit
+# integer CASE ladder in BOTH engines — ceil(log2(x)) through floats is
+# engine-fragile exactly at the powers of two (log(8)/log(2) can land an
+# ulp above 3.0), and one wrong ulp moves a whole bucket
+_PAD_CAPS = [1 << i for i in range(17)]
+
+
+def _sql_pad_cap(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {expr} <= {c} THEN {c}" for c in _PAD_CAPS
+    )
+    return f"CASE {arms} ELSE {1 << 20} END"
+
+
+def _pad_cap(col):
+    out = F.lit(1 << 20)
+    for c in reversed(_PAD_CAPS):
+        out = F.when(col <= c, F.lit(c)).otherwise(out)
+    return out
+
+
+@query(
+    "batch_padding_efficiency",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents),
+    b AS (
+      SELECT {_sql_pad_cap('tok')} AS bucket_cap,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST(max(tok) AS BIGINT) AS max_tokens
+      FROM d GROUP BY {_sql_pad_cap('tok')})
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, n_docs, sum_tokens,
+           max_tokens,
+           CAST(n_docs * bucket_cap AS BIGINT) AS padded_tokens,
+           CAST(n_docs * bucket_cap - sum_tokens AS BIGINT)
+             AS waste_tokens,
+           CAST(1000000 * (n_docs * bucket_cap - sum_tokens)
+                // (n_docs * bucket_cap) AS BIGINT) AS waste_ppm,
+           CAST(1000000 * n_docs // (sum(n_docs) OVER ()) AS BIGINT)
+             AS docs_share_ppm
+    FROM b
+    """,
+    doc="length-bucketed batch padding audit — the accounting that "
+    "licenses power-of-2 sequence bucketing for training batches: "
+    "docs grouped by the smallest power-of-2 capacity holding their "
+    "token count, per-bucket padded vs real token mass and exact "
+    "integer waste ppm (the fraction of accelerator time a batch of "
+    "this bucket burns on pad tokens). The capacity function is an "
+    "integer CASE ladder, NOT ceil(log2): float log at exact powers "
+    "of two differs by an ulp across engines and moves whole "
+    "buckets. Scale shape: per-row token count + capacity (codegen, "
+    "zero joins), ONE partial-agg groupBy onto <=18 bucket rows, and "
+    "the share window runs over those bucket rows only "
+    "(SinglePartition over metadata, the corpus_pack_sequences "
+    "discipline).",
+)
+def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    b = d.groupBy(_pad_cap(F.col("tok")).alias("bucket_cap")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("sum_tokens"),
+        F.max("tok").cast("long").alias("max_tokens"),
+    )
+    w_all = W.partitionBy()
+    return b.select(
+        F.col("bucket_cap").cast("long").alias("bucket_cap"),
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        (F.col("n_docs") * F.col("bucket_cap"))
+        .cast("long")
+        .alias("padded_tokens"),
+        (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.expr(
+            "(1000000 * (n_docs * bucket_cap - sum_tokens))"
+            " DIV (n_docs * bucket_cap)"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+        F.expr("1000000 * n_docs")
+        .alias("_num"),
+        F.sum("n_docs").over(w_all).alias("_den"),
+    ).select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        "padded_tokens",
+        "waste_tokens",
+        "waste_ppm",
+        F.expr("_num DIV _den").cast("long").alias("docs_share_ppm"),
+    )

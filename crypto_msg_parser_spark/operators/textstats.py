@@ -746,3 +746,82 @@ def inverted_index_postings(spark, sf_dir):
             ).alias("postings_head"),
         )
     )
+
+
+OOV_VOCAB_K = 1000
+
+
+@query(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t.t AS word
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(ws) AS t(t)),
+    sw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, word),
+    tot AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY word),
+    vocab AS (
+      SELECT word FROM tot ORDER BY n DESC, word LIMIT {OOV_VOCAB_K})
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(COALESCE(sum(c) FILTER (WHERE v.word IS NULL), 0)
+                AS BIGINT) AS oov_tokens,
+           CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT)
+             AS oov_distinct,
+           CAST(1000000 * COALESCE(sum(c) FILTER (WHERE v.word IS NULL),
+                                   0) // sum(c) AS BIGINT) AS oov_ppm
+    FROM sw LEFT JOIN vocab v ON v.word = sw.word
+    GROUP BY source
+    """,
+    doc="out-of-vocabulary rate per source against the corpus's own "
+    "top-1000 vocabulary — the tokenizer-coverage audit run before "
+    "committing a fixed vocab (or a BPE merge table) to a training "
+    "mixture: sources whose token mass falls outside the head "
+    "vocabulary dominate UNK rates downstream. Vocabulary selection "
+    "is the total (count DESC, word ASC) order LIMIT K, so boundary "
+    "ties resolve identically in both engines; rates are exact "
+    "integer ppm over token counts. Scale shape: one explode + "
+    "partial-agg groupBy(source, word) — the same shuffle "
+    "word-frequency rows pay — one groupBy(word) rollup for corpus "
+    "counts, a TakeOrderedAndProject for the K-row vocab, and a "
+    "LEFT join of (source, word) counts against the K-row vocab, "
+    "broadcast BY CONSTRUCTION bounded at K=1000 (this is the "
+    "bounded-dictionary case; the unbounded-vocabulary rows like "
+    "collocation_lift_topk deliberately do NOT broadcast).",
+)
+def oov_rate_by_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_words(F.col("text"))).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = sw.groupBy("word").agg(F.sum("c").cast("long").alias("n"))
+    vocab = (
+        tot.orderBy(F.col("n").desc(), "word")
+        .limit(OOV_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    j = sw.join(F.broadcast(vocab), "word", "left")
+    oov = F.col("in_vocab").isNull()
+    return j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.coalesce(F.sum(F.when(oov, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.count(F.when(oov, 1)).cast("long").alias("oov_distinct"),
+        F.expr(
+            "(1000000 * coalesce(sum(CASE WHEN in_vocab IS NULL THEN c END),"
+            " 0)) DIV sum(c)"
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )

@@ -902,3 +902,170 @@ def events_attribution_last_touch(spark, sf_dir):
             "channel",
         )
     )
+
+
+@query(
+    "events_stickiness_weekly",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events),
+    dau AS (
+      SELECT week, day, CAST(count(*) AS BIGINT) AS dau
+      FROM d GROUP BY week, day),
+    wk AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS n_active_days,
+             CAST(sum(dau) AS BIGINT) AS active_user_days
+      FROM dau GROUP BY week),
+    wau AS (
+      SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY week)
+    SELECT wk.week, wk.n_active_days, wk.active_user_days, wau.wau,
+           CAST(1000000 * wk.active_user_days
+                // (wk.n_active_days * wau.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM wk JOIN wau ON wau.week = wk.week
+    """,
+    doc="DAU/WAU stickiness per ISO week — the engagement ratio product "
+    "dashboards track: average daily actives over the week's active "
+    "days divided by weekly actives, kept exact as stickiness_ppm = "
+    "1e6 * active_user_days DIV (n_active_days * wau) instead of a "
+    "float average-of-averages. Week/day keys are both-engine "
+    "date_trunc (ISO-Monday weeks), cast to TIMESTAMP like the "
+    "retention-cohort row. Scale shape: one DISTINCT shuffle to "
+    "(week, day, user) — the partial-agg dedup any DAU computation "
+    "pays — then two metadata-sized week rollups (the WAU distinct "
+    "rides the same deduped frame, so no second pass over raw "
+    "events) and one equi-join on week.",
+)
+def events_stickiness_weekly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("week", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wk = dau.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.sum("dau").cast("long").alias("active_user_days"),
+    )
+    wau = d.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return wk.join(wau, "week").select(
+        "week",
+        "n_active_days",
+        "active_user_days",
+        "wau",
+        F.expr(
+            "(1000000 * active_user_days) DIV (n_active_days * wau)"
+        )
+        .cast("long")
+        .alias("stickiness_ppm"),
+    )
+
+
+@query(
+    "events_power_users_decile",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT user_id, n_events,
+             ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+      FROM u),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS total_events,
+             CAST(min(n_events) AS BIGINT) AS min_events,
+             CAST(max(n_events) AS BIGINT) AS max_events
+      FROM t GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, total_events,
+           min_events, max_events,
+           CAST(1000000 * total_events // (sum(total_events) OVER ())
+                AS BIGINT) AS share_ppm
+    FROM g
+    """,
+    doc="power-user concentration: users ranked by event count into "
+    "NTILE(10) deciles under the total (n_events DESC, user_id) order, "
+    "reported as per-decile user/event counts and exact integer event "
+    "share — the activity-concentration curve growth teams read next "
+    "to retention. The Spark side does NOT run a global ntile window "
+    "(a single-partition sort over every user): it reproduces ntile's "
+    "exact assignment rule from a two-level rank — row_number "
+    "partitioned WITHIN each distinct count value (parallel), plus a "
+    "cumulative offset over the VALUE-level histogram (the only "
+    "SinglePartition step, over distinct count values — metadata-"
+    "sized, the corpus_pack_sequences discipline) — then the closed-"
+    "form ntile bucket formula on that global rank with N a plan "
+    "literal. The DuckDB oracle uses the plain ntile window, pinning "
+    "that the decomposition IS ntile. Scale shape: one groupBy(user), "
+    "one groupBy(count value), per-value ranking windows, one "
+    "metadata rollup to 10 rows.",
+)
+def events_power_users_decile(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    # value-level histogram + cumulative users above each count value
+    vc = u.groupBy("n_events").agg(F.count(F.lit(1)).alias("m"))
+    w_cum = (
+        W.orderBy(F.col("n_events").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    vcc = vc.select(
+        "n_events",
+        F.coalesce(F.sum("m").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    w_in = W.partitionBy("n_events").orderBy("user_id")
+    ranked = (
+        u.withColumn("rn", F.row_number().over(w_in))
+        .join(vcc, "n_events")
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cum_before") + F.col("rn")).alias("grank"),
+        )
+    )
+    # ntile(10) closed form: first (N % 10) buckets hold (N DIV 10) + 1
+    # rows, the rest (N DIV 10); N as a plan literal (tfidf precedent).
+    # With N < 10 (base = 0) every rank sits under the threshold, so the
+    # max(base, 1) in the dead else-branch only guards the division.
+    n = u.count()
+    base, extra = n // 10, n % 10
+    threshold = extra * (base + 1)
+    decile = F.expr(
+        f"CASE WHEN grank <= {threshold} THEN (grank - 1) DIV {base + 1} + 1 "
+        f"ELSE {extra} + (grank - {threshold} - 1) DIV {max(base, 1)} + 1 END"
+    )
+    g = ranked.select(decile.alias("decile"), "n_events").groupBy(
+        "decile"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.min("n_events").cast("long").alias("min_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+    )
+    w_all = W.partitionBy()
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "total_events",
+        "min_events",
+        "max_events",
+        F.expr("1000000 * total_events").alias("_num"),
+        F.sum("total_events").over(w_all).alias("_den"),
+    ).select(
+        "decile",
+        "n_users",
+        "total_events",
+        "min_events",
+        "max_events",
+        F.expr("_num DIV _den").cast("long").alias("share_ppm"),
+    )

@@ -263,20 +263,34 @@ _PRIORITY = [
     "order_flow_persistence_1h",
     "host_latency_ewma_budget",
     "recrawl_change_rate",
-    # ---- (b) canaries (kept in-window after the (a13) displacement:
-    #      route = all 20 parse arms, corpus_prep_full = the composed
-    #      corpus pipeline, frontier_seen_batch_replay = keyed-state
-    #      replay) ----
+    # ---- (a14) continuation-session wave 6: DAU/WAU stickiness,
+    #      scale-safe NTILE power-user deciles, OOV-rate tokenizer
+    #      audit, power-of-2 batch-padding audit — zero driver history
+    #      by construction. Four more r03/r04-evidenced rows fall out
+    #      of the window: corpus_prep_full + frontier_seen_batch_replay
+    #      (both r04-green and source-unchanged this round),
+    #      crawl_stream_docs_replay (r03-green; its finalize path is
+    #      exercised in-window by stream_book_reconstruct), and
+    #      stream_book_resync (r04-green; it already carried the
+    #      row_number tie-key pattern this round's fixes copied, so it
+    #      is the LEAST at-risk streaming row).
+    "events_stickiness_weekly",
+    "events_power_users_decile",
+    "oov_rate_by_source",
+    "batch_padding_efficiency",
+    # ---- (b)/(c) kept in-window after the (a13)+(a14) displacement:
+    #      route = every one of the 20 parse arms in one row;
+    #      stream_book_reconstruct = the ADVICE-r4 tie-key semantic fix
+    #      that most needs a post-change graded row ----
     "route_mixed_exchanges",
+    "stream_book_reconstruct",
+    # ---- below this line: displaced by (a13)/(a14), r03/r04 driver
+    #      evidence on record, still green in the full-registry local
+    #      replay ----
     "corpus_prep_full",
     "frontier_seen_batch_replay",
-    # ---- (c) streaming rows kept in-window: the two tie-key semantic
-    #      fixes of this round plus one finalize-path representative ----
-    "stream_book_reconstruct",
     "stream_book_resync",
     "crawl_stream_docs_replay",
-    # ---- below this line: displaced by (a13), r03/r04 driver evidence
-    #      on record, still green in the full-registry local replay ----
     "parse_binance_spot_trade",
     "web_corpus_prep_full",
     "frontier_stream_resume",

@@ -489,3 +489,82 @@ def test_order_flow_persistence_pair_accounting(spark):
         else:
             assert r.persistence_ppm is None
     assert saw_pairs
+
+
+def test_stickiness_bounds_and_identity(spark):
+    """Stickiness is avg-DAU/WAU in exact ppm, always in (0, 1e6]."""
+    from crypto_msg_parser_spark.plans.relational import (
+        events_stickiness_weekly,
+    )
+
+    rows = events_stickiness_weekly(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.stickiness_ppm <= 1000000
+        assert (
+            r.stickiness_ppm
+            == 1000000 * r.active_user_days // (r.n_active_days * r.wau)
+        )
+        # each active day contributes at most wau users
+        assert r.active_user_days <= r.n_active_days * r.wau
+        assert r.n_active_days <= 7
+
+
+def test_power_user_deciles_match_sql_ntile(spark):
+    """The scale-safe two-level rank must reproduce SQL NTILE(10)
+    exactly: per-decile sizes differ by at most one, earlier deciles
+    are never smaller, and min/max event bounds are non-increasing."""
+    from crypto_msg_parser_spark.plans.relational import (
+        events_power_users_decile,
+    )
+
+    rows = sorted(
+        events_power_users_decile(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert rows
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    # decile 1 holds the heaviest users: max_events non-increasing
+    maxes = [r.max_events for r in rows]
+    assert maxes == sorted(maxes, reverse=True)
+    total = sum(r.total_events for r in rows)
+    for r in rows:
+        assert r.share_ppm == 1000000 * r.total_events // total
+        assert r.min_events <= r.max_events
+
+
+def test_oov_rate_vocab_covers_head(spark):
+    """With a 1000-word vocab over a small corpus, OOV mass must be the
+    complement of vocab mass, and a source made ONLY of vocab words
+    would score 0 — checked via the identity on per-source counts."""
+    from crypto_msg_parser_spark.operators.textstats import (
+        oov_rate_by_source,
+    )
+
+    rows = oov_rate_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        assert 0 <= r.oov_distinct <= r.n_distinct_words
+        assert r.oov_ppm == 1000000 * r.oov_tokens // r.n_tokens
+
+
+def test_batch_padding_bucket_containment(spark):
+    """Every bucket's max token count fits its capacity and exceeds the
+    next-smaller capacity; waste accounting is exact."""
+    from crypto_msg_parser_spark.operators.corpus import (
+        batch_padding_efficiency,
+    )
+
+    rows = batch_padding_efficiency(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.max_tokens <= r.bucket_cap
+        assert r.bucket_cap == 1 or r.max_tokens > r.bucket_cap // 2
+        assert r.padded_tokens == r.n_docs * r.bucket_cap
+        assert r.waste_tokens == r.padded_tokens - r.sum_tokens
+        assert (
+            r.waste_ppm == 1000000 * r.waste_tokens // r.padded_tokens
+        )
