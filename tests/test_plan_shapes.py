@@ -157,10 +157,13 @@ def test_word_rarity_skew_contract(spark):
     the word-key join is maximally skewed at corpus scale (stop words
     touch ~every doc), and the engine's contract is AQE's skew-join split
     — NOT a forced broadcast of the unbounded vocabulary side. Guard both
-    halves: the session must keep skew-join handling on, and no word-keyed
-    join in textstats may hint a broadcast; the module's single allowed
-    F.broadcast is collocation_lift_topk's 1-row grand-total crossJoin
-    (a bounded build side at any scale, documented in its docstring)."""
+    halves: the session must keep skew-join handling on, and no
+    UNBOUNDED word-keyed join in textstats may hint a broadcast. The
+    module's allowed F.broadcast sites are exactly the builds bounded BY
+    CONSTRUCTION at any corpus scale: collocation_lift_topk's 1-row
+    grand-total crossJoin and oov_rate_by_source's LIMIT-K vocabulary
+    (both documented in their docstrings); the full unigram table is
+    never one of them."""
     import pathlib
 
     import crypto_msg_parser_spark.operators.textstats as textstats_mod
@@ -168,8 +171,9 @@ def test_word_rarity_skew_contract(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     src = pathlib.Path(textstats_mod.__file__).read_text()
-    assert src.count("F.broadcast(") == 1
+    assert src.count("F.broadcast(") == 2
     assert "crossJoin(F.broadcast(n))" in src
+    assert "F.broadcast(vocab)" in src
     plan = _plan(spark, "word_rarity_score")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
