@@ -521,7 +521,12 @@ def l2_book_reconstruct(spark, sf_dir):
     "SURVEY §3 EP3) over a mixed synthesized stream.",
 )
 def binance_router(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # _msg_source, not a bare load_table: the sf0.1 lineitem parquet is
+    # 1-2 row groups, and without the repartition the three routing
+    # probes run near-serial (measured: 10.5 s warm_min at quiet load vs
+    # ~1-2 s with input parallelism restored — the exact trap the
+    # _msg_source docstring documents; this row predated the helper)
+    li = _msg_source(spark, sf_dir)
     ts = F.lit(_BASE_TS) + F.col("l_orderkey")
     suffix = (
         F.when(F.col("l_linenumber") % 3 == 0, "@aggTrade")
