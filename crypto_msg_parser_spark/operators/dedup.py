@@ -493,7 +493,15 @@ def dedup_simhash(spark, sf_dir):
     "O(n^2) definition.",
 )
 def neardup_simhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the simhash projection: the testdata parquet is
+    # ONE row group, and the 16-bit simhash is 32 array passes per doc
+    # evaluated map-side BEFORE the band shuffle — on the bare scan that
+    # work runs single-partition (measured 13.6 s warm_min at quiet load
+    # vs ~1 s with input parallelism restored; the binance_router /
+    # _msg_source trap). A production corpus scan is thousands of files.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     return neardup_simhash_pairs(
         docs, bits=SIMHASH_BITS, n_bands=4, max_hamming=3
     )
@@ -550,7 +558,12 @@ def neardup_word_jaccard(spark, sf_dir):
     "grows with the corpus so no block outgrows a task.",
 )
 def neardup_ngram_jaccard(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition for the same reason as neardup_simhash: the bigram
+    # shingle hashing runs map-side before the block-key shuffle, and the
+    # one-row-group testdata scan would evaluate it single-partition
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     # shingles over the RAW word sequence (adjacency is the signal;
     # _words would dedupe and reorder)
     hs = F.transform(_bigrams(F.split(F.col("text"), " ")), _hasher(0))
