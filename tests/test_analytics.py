@@ -568,3 +568,26 @@ def test_batch_padding_bucket_containment(spark):
         assert (
             r.waste_ppm == 1000000 * r.waste_tokens // r.padded_tokens
         )
+
+
+def test_ntile_closed_form_matches_sql_semantics():
+    """Pure-formula check (no Spark): the closed-form bucket assignment
+    used by events_power_users_decile reproduces SQL NTILE(10) for every
+    N in 1..400 — first (N % 10) buckets hold (N DIV 10)+1 rows, the
+    rest (N DIV 10)."""
+    for n in range(1, 401):
+        base, extra = n // 10, n % 10
+        threshold = extra * (base + 1)
+        got = []
+        for grank in range(1, n + 1):
+            if grank <= threshold:
+                d = (grank - 1) // (base + 1) + 1
+            else:
+                d = extra + (grank - threshold - 1) // max(base, 1) + 1
+            got.append(d)
+        # reference NTILE: distribute n rows over 10 buckets
+        ref, bucket, left = [], 1, n
+        for b in range(1, 11):
+            size = n // 10 + (1 if b <= n % 10 else 0)
+            ref.extend([b] * size)
+        assert got == ref, n

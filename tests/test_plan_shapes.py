@@ -177,3 +177,37 @@ def test_word_rarity_skew_contract(spark):
     plan = _plan(spark, "word_rarity_score")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decile_and_padding_single_partition_budget(spark):
+    """The two continuation-wave rows that own a SinglePartition stage
+    must own exactly ONE each, and it must be the documented
+    metadata-level stage (value-histogram cumulative / bucket-share
+    window) — a second one means the scale-safe ntile decomposition or
+    the bucket rollup regressed to a global sort."""
+    for name in ("events_power_users_decile", "batch_padding_efficiency"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange SinglePartition") == 1, name
+
+
+def test_fixed_rows_keep_input_parallelism(spark):
+    """Regression guard for the input-parallelism fixes: the one-row-group
+    testdata scan must be repartitioned BEFORE the heavy map-side stage in
+    binance_router (routing probes), neardup_simhash (simhash bit loops)
+    and neardup_ngram_jaccard (shingle hashing). The dedup rows' plans
+    must carry the round-robin exchange; binance_router hides its
+    repartition behind the _msg_source localCheckpoint barrier (invisible
+    in the final executedPlan), so it is guarded at source level like the
+    broadcast contracts."""
+    import inspect
+
+    from crypto_msg_parser_spark.parser import queries as pq
+
+    for name in ("neardup_simhash", "neardup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert (
+            "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+        ), f"{name}: input repartition missing\n{plan[:2000]}"
+    src = inspect.getsource(pq.binance_router)
+    assert "_msg_source(spark, sf_dir)" in src
+    assert "load_table(spark" not in src
